@@ -1,0 +1,245 @@
+"""Vectorized polygon math: area, centroid, PIP, clipping, simplify.
+
+From-scratch NumPy replacements for the shapely calls in the reference:
+``.area`` (query_geojson.py:187), ``.intersection(q).area``
+(query_geojson.py:188-192), ``.contains/.within`` (query_geojson.py:
+199-204), ``ST_Centroid`` (load.py:165-166), ``ST_Simplify(geom, 100)``
+(load.py:155-156), ``ST_Intersects`` (query_geojson.py:71).
+
+All kernels are loop-free over the *point* axis (the big axis at web
+scale); loops over polygon edges (small, bounded) are fine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _closed(ring: np.ndarray) -> np.ndarray:
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) == 0:
+        return ring.reshape(0, 2)
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (positive = counter-clockwise)."""
+    r = _closed(ring)
+    if len(r) < 4:
+        return 0.0
+    x, y = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    return float(np.sum(x * y1 - x1 * y) / 2.0)
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Unsigned area of shell minus holes."""
+    if not rings:
+        return 0.0
+    a = abs(ring_area(rings[0]))
+    for hole in rings[1:]:
+        a -= abs(ring_area(hole))
+    return a
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid; falls back to vertex mean for degenerate rings."""
+    r = _closed(ring)
+    a = ring_area(r)
+    if abs(a) < 1e-12:
+        pts = r[:-1] if len(r) > 1 else r
+        return (float(np.mean(pts[:, 0])), float(np.mean(pts[:, 1])))
+    x, y = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    cross = x * y1 - x1 * y
+    cx = float(np.sum((x + x1) * cross) / (6.0 * a))
+    cy = float(np.sum((y + y1) * cross) / (6.0 * a))
+    return (cx, cy)
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray-cast: bool mask of points strictly inside or on edge.
+
+    Crossing-number over edges (loop over edges vectorized across points),
+    plus an explicit on-boundary test so edge points count as inside
+    (matching ST_Intersects touch semantics).
+    """
+    r = _closed(ring)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    on_edge = np.zeros(px.shape, dtype=bool)
+    x0, y0 = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    for i in range(len(x0)):
+        xa, ya, xb, yb = x0[i], y0[i], x1[i], y1[i]
+        cond = (ya > py) != (yb > py)
+        if cond.any():
+            # x coordinate where the edge crosses the horizontal ray
+            xint = (xb - xa) * (py - ya) / (yb - ya) + xa
+            inside ^= cond & (px < xint)
+        # boundary: collinear + within segment bbox
+        cross = (xb - xa) * (py - ya) - (yb - ya) * (px - xa)
+        seg = (
+            (np.abs(cross) < 1e-9)
+            & (px >= min(xa, xb) - 1e-12)
+            & (px <= max(xa, xb) + 1e-12)
+            & (py >= min(ya, yb) - 1e-12)
+            & (py <= max(ya, yb) + 1e-12)
+        )
+        on_edge |= seg
+    return inside | on_edge
+
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip ``subject`` ring by a *convex* ``clip`` ring.
+
+    Returns the clipped ring (possibly empty). Used for the exact
+    overlap-percentage refinement (reference query_geojson.py:188-192);
+    fixture ROIs are convex, matching reference usage.
+    """
+    clip = _closed(clip)
+    if ring_area(clip) < 0:  # need CCW orientation for inside tests
+        clip = clip[::-1]
+    out = _closed(subject)[:-1]
+    cx0, cy0 = clip[:-1, 0], clip[:-1, 1]
+    cx1, cy1 = clip[1:, 0], clip[1:, 1]
+    for i in range(len(cx0)):
+        if len(out) == 0:
+            return np.zeros((0, 2))
+        ax, ay, bx, by = cx0[i], cy0[i], cx1[i], cy1[i]
+        x, y = out[:, 0], out[:, 1]
+        side = (bx - ax) * (y - ay) - (by - ay) * (x - ax)  # >=0 == inside
+        nxt = np.roll(out, -1, axis=0)
+        side_n = np.roll(side, -1)
+        new_pts = []
+        for j in range(len(out)):
+            cur_in, nxt_in = side[j] >= -1e-12, side_n[j] >= -1e-12
+            if cur_in:
+                new_pts.append(out[j])
+            if cur_in != nxt_in:
+                # intersection of edge (out[j] -> nxt[j]) with clip line
+                dx, dy = nxt[j, 0] - out[j, 0], nxt[j, 1] - out[j, 1]
+                denom = (bx - ax) * dy - (by - ay) * dx
+                if abs(denom) > 1e-18:
+                    t = -((bx - ax) * (out[j, 1] - ay) - (by - ay) * (out[j, 0] - ax)) / denom
+                    new_pts.append(out[j] + np.clip(t, 0.0, 1.0) * np.array([dx, dy]))
+        out = np.asarray(new_pts, dtype=np.float64).reshape(-1, 2)
+    return out
+
+
+def intersection_area_convex(subject: np.ndarray, clip: np.ndarray) -> float:
+    """Area of subject∩clip where ``clip`` is convex (ROI case)."""
+    clipped = clip_convex(subject, clip)
+    if len(clipped) < 3:
+        return 0.0
+    return abs(ring_area(clipped))
+
+
+def _segments_cross(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
+    """Vectorized proper/improper segment intersection test.
+
+    a-segments broadcast against b-segments; inputs are 1-D arrays shaped
+    for broadcasting by the caller.
+    """
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    d1 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d2 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+    def on_seg(px, py, qx, qy, rx, ry, d):
+        return (
+            (np.abs(d) < 1e-12)
+            & (rx >= np.minimum(px, qx) - 1e-12)
+            & (rx <= np.maximum(px, qx) + 1e-12)
+            & (ry >= np.minimum(py, qy) - 1e-12)
+            & (ry <= np.maximum(py, qy) + 1e-12)
+        )
+
+    touch = (
+        on_seg(bx0, by0, bx1, by1, ax0, ay0, d1)
+        | on_seg(bx0, by0, bx1, by1, ax1, ay1, d2)
+        | on_seg(ax0, ay0, ax1, ay1, bx0, by0, d3)
+        | on_seg(ax0, ay0, ax1, ay1, bx1, by1, d4)
+    )
+    return proper | touch
+
+
+def rings_intersect(a: np.ndarray, b: np.ndarray) -> bool:
+    """Exact ST_Intersects for two simple rings: bbox test, then
+    vertex-containment both ways, then any-edge-crossing."""
+    a, b = _closed(a), _closed(b)
+    if (
+        a[:, 0].max() < b[:, 0].min()
+        or b[:, 0].max() < a[:, 0].min()
+        or a[:, 1].max() < b[:, 1].min()
+        or b[:, 1].max() < a[:, 1].min()
+    ):
+        return False
+    if points_in_ring(a[:1, 0], a[:1, 1], b)[0]:
+        return True
+    if points_in_ring(b[:1, 0], b[:1, 1], a)[0]:
+        return True
+    ax0, ay0 = a[:-1, 0][:, None], a[:-1, 1][:, None]
+    ax1, ay1 = a[1:, 0][:, None], a[1:, 1][:, None]
+    bx0, by0 = b[:-1, 0][None, :], b[:-1, 1][None, :]
+    bx1, by1 = b[1:, 0][None, :], b[1:, 1][None, :]
+    return bool(_segments_cross(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1).any())
+
+
+def douglas_peucker(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative Douglas-Peucker line simplification at tolerance ``tol``
+    (the reference simplifies every stored polygon at 100 m, load.py:155).
+
+    Keeps ring closure; never reduces a ring below 4 points (triangle +
+    closure) so output stays a valid polygon.
+    """
+    r = _closed(ring)
+    pts = r[:-1]
+    n = len(pts)
+    if n <= 3:
+        return r
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = True
+    anchor_far = int(np.argmax(np.hypot(pts[:, 0] - pts[0, 0], pts[:, 1] - pts[0, 1])))
+    keep[anchor_far] = True
+    stack = [(0, anchor_far), (anchor_far, n - 1)]
+    keep[n - 1] = True
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[i + 1 : j]
+        dx, dy = pts[j, 0] - pts[i, 0], pts[j, 1] - pts[i, 1]
+        norm = np.hypot(dx, dy)
+        if norm < 1e-18:
+            d = np.hypot(seg[:, 0] - pts[i, 0], seg[:, 1] - pts[i, 1])
+        else:
+            d = np.abs(dy * (seg[:, 0] - pts[i, 0]) - dx * (seg[:, 1] - pts[i, 1])) / norm
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    kept = pts[keep]
+    if len(kept) < 3:  # safety: degenerate reduction
+        idx = np.linspace(0, n - 1, 3).astype(int)
+        kept = pts[idx]
+    return np.vstack([kept, kept[:1]])
+
+
+def bbox_of(ring: np.ndarray) -> tuple[float, float, float, float]:
+    r = np.asarray(ring, dtype=np.float64)
+    return (
+        float(r[:, 0].min()),
+        float(r[:, 1].min()),
+        float(r[:, 0].max()),
+        float(r[:, 1].max()),
+    )

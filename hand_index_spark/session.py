@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference tunes its single-node engine with a memory cap + spill dir
+(load.py:55-57) and disables order preservation for insert throughput
+(load.py:58). The Spark equivalents are AQE, explicit shuffle-partition
+sizing, Arrow-vectorized Python UDF transport, and skew-join splitting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "hand_index_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so the same entry points serve tests, the driver's
+    verify, and the two-parallelism scaling bench (local[8] vs local[32],
+    the sandbox stand-in for N vs 4N executors).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else DEFAULT_SHUFFLE_PARTITIONS
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting (BASELINE.json:6).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transport for pandas UDFs — the vectorized-only mandate.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Explicit shuffle sizing; never rely on the default 200.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Partition files at ~128MB splits like a real cluster would.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,228 @@
+"""Geometry-kernel unit tests (pure NumPy, no Spark) — SURVEY.md §5.2 item 1."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hand_index_spark.geo import albers, cells, polygon as P, s2lite, wkb
+
+SQ = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])  # 4x3 rect
+TRI = np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]])
+
+
+# ------------------------------------------------------------------- wkb
+
+
+def test_wkb_polygon_roundtrip():
+    buf = wkb.polygon_to_wkb([SQ])
+    t, rings = wkb.parse_wkb(buf)
+    assert t == wkb.WKB_POLYGON
+    assert np.allclose(rings[0][:-1], SQ)
+    assert np.allclose(rings[0][0], rings[0][-1])
+
+
+def test_wkb_multipolygon_roundtrip_and_shells():
+    buf = wkb.multipolygon_to_wkb([[SQ], [TRI + 10.0]])
+    t, polys = wkb.parse_wkb(buf)
+    assert t == wkb.WKB_MULTIPOLYGON and len(polys) == 2
+    sh = wkb.shells(buf)
+    assert len(sh) == 2
+    assert np.allclose(sh[1][:-1], TRI + 10.0)
+
+
+def test_wkb_point_and_bytearray_coercion():
+    buf = bytearray(wkb.point_to_wkb(1.5, -2.5))
+    t, xy = wkb.parse_wkb(buf)
+    assert t == wkb.WKB_POINT and tuple(xy) == (1.5, -2.5)
+
+
+def test_wkb_big_endian_and_z_drop():
+    import struct
+
+    # hand-built big-endian 3D point (ISO Z type = 1001)
+    buf = struct.pack(">BIddd", 0, 1001, 3.0, 4.0, 99.0)
+    t, xy = wkb.parse_wkb(buf)
+    assert t == wkb.WKB_POINT and tuple(xy) == (3.0, 4.0)
+
+
+# --------------------------------------------------------------- polygon
+
+
+def test_shoelace_area_and_centroid():
+    assert P.ring_area(SQ) == pytest.approx(12.0)
+    assert P.ring_area(SQ[::-1]) == pytest.approx(-12.0)
+    assert P.polygon_area([SQ, TRI]) == pytest.approx(12.0 - 2.0)
+    cx, cy = P.ring_centroid(SQ)
+    assert (cx, cy) == (pytest.approx(2.0), pytest.approx(1.5))
+    cx, cy = P.ring_centroid(TRI)
+    assert (cx, cy) == (pytest.approx(2.0 / 3.0), pytest.approx(2.0 / 3.0))
+
+
+def test_pip_labeled_points():
+    px = np.array([2.0, 4.5, 0.0, 4.0, 2.0, -0.1])
+    py = np.array([1.0, 1.0, 0.0, 3.0, 3.0, 1.0])
+    got = P.points_in_ring(px, py, SQ)
+    #            inside out   corner corner edge  out
+    assert got.tolist() == [True, False, True, True, True, False]
+
+
+def test_pip_concave():
+    # U-shape: notch from above
+    u = np.array([[0, 0], [6, 0], [6, 4], [4, 4], [4, 2], [2, 2], [2, 4], [0, 4]], dtype=float)
+    px = np.array([1.0, 3.0, 5.0, 3.0])
+    py = np.array([3.0, 3.0, 3.0, 1.0])
+    assert P.points_in_ring(px, py, u).tolist() == [True, False, True, True]
+
+
+def test_clip_known_overlap_areas():
+    # unit squares offset by 0.5 -> overlap 0.25
+    a = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    b = a + 0.5
+    assert P.intersection_area_convex(a, b) == pytest.approx(0.25)
+    # disjoint
+    assert P.intersection_area_convex(a, a + 5.0) == pytest.approx(0.0)
+    # contained
+    inner = a * 0.5 + 0.25
+    assert P.intersection_area_convex(inner, a) == pytest.approx(0.25)
+    # unit square fully inside triangle (hypotenuse touches (1,1))
+    assert P.intersection_area_convex(a, TRI) == pytest.approx(1.0)
+    # half-overlap: square shifted so the hypotenuse bisects it
+    c = a + np.array([0.5, 0.5])  # corners (0.5,0.5)..(1.5,1.5), x+y=2 diagonal
+    assert P.intersection_area_convex(c, TRI) == pytest.approx(0.5)
+
+
+def test_rings_intersect_cases():
+    a = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    assert P.rings_intersect(a, a + 0.5)
+    assert not P.rings_intersect(a, a + 5.0)
+    assert P.rings_intersect(a, a * 0.2 + 0.4)  # containment
+    assert P.rings_intersect(a, a + 1.0)  # corner touch
+    # edge-crossing without vertex containment (plus shape)
+    h = np.array([[-1, 0.4], [2, 0.4], [2, 0.6], [-1, 0.6]], dtype=float)
+    assert P.rings_intersect(a, h)
+
+
+def test_douglas_peucker_known_reduction():
+    # collinear midpoints vanish at any positive tolerance
+    ring = np.array([[0, 0], [1, 0.001], [2, 0], [2, 1], [1, 1.001], [0, 1]], dtype=float)
+    out = P.douglas_peucker(ring, 0.01)
+    assert len(out) == 5  # 4 corners + closure
+    assert P.ring_area(out) == pytest.approx(P.ring_area(ring), rel=0.01)
+    # tolerance below the deviation keeps everything
+    out2 = P.douglas_peucker(ring, 0.0001)
+    assert len(out2) == 7
+
+
+# ---------------------------------------------------------------- albers
+
+
+def test_albers_origin_and_roundtrip():
+    x, y = albers.forward(np.array([albers.LON0]), np.array([albers.LAT0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-125, -66, 200)
+    lat = rng.uniform(24, 50, 200)
+    x, y = albers.forward(lon, lat)
+    lon2, lat2 = albers.inverse(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9)
+    assert np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_albers_equal_area_property():
+    # a 1-degree cell at two latitudes: projected areas must match true
+    # ellipsoidal authalic areas (equal-area projection) within 0.1%
+    def cell_area(lon0, lat0):
+        ring_ll = np.array(
+            [[lon0, lat0], [lon0 + 1, lat0], [lon0 + 1, lat0 + 1], [lon0, lat0 + 1]]
+        )
+        # densify edges so projected edges curve correctly
+        dens = []
+        for i in range(4):
+            a, b = ring_ll[i], ring_ll[(i + 1) % 4]
+            for t in np.linspace(0, 1, 50, endpoint=False):
+                dens.append(a + t * (b - a))
+        dens = np.array(dens)
+        x, y = albers.forward(dens[:, 0], dens[:, 1])
+        return abs(P.ring_area(np.column_stack([x, y])))
+
+    a30 = cell_area(-100, 30)
+    a45 = cell_area(-100, 45)
+
+    # exact ellipsoidal area of a 1x1 degree cell: a^2 * dlam * (q1-q0)/2
+    import math
+
+    def ell(lat0):
+        q0 = albers._q(np.array([math.sin(math.radians(lat0))]))[0]
+        q1 = albers._q(np.array([math.sin(math.radians(lat0 + 1))]))[0]
+        return (math.pi / 180.0) * albers.A * albers.A * (q1 - q0) / 2.0
+
+    assert a30 / ell(30) == pytest.approx(1.0, rel=1e-4)
+    assert a45 / ell(45) == pytest.approx(1.0, rel=1e-4)
+
+
+# ----------------------------------------------------------------- cells
+
+
+def test_h3lite_hierarchy_and_bounds():
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-89, 89, 500)
+    lon = rng.uniform(-179, 179, 500)
+    c9 = cells.encode(lat, lon, 9)
+    c5 = cells.encode(lat, lon, 5)
+    assert np.array_equal(cells.parent(c9, 5), c5)
+    # bounds contain the encoding point
+    for k in [0, 17, 499]:
+        lon0, lat0, lon1, lat1 = cells.cell_bounds(int(c9[k]))
+        assert lon0 <= lon[k] < lon1 and lat0 <= lat[k] < lat1
+    res, _, _ = cells.decompose(c9)
+    assert np.all(res == 9)
+    assert np.all(c9 > 0)
+
+
+def test_h3lite_cover_and_ring():
+    cv = cells.cover_bbox(-100.0, 40.0, -99.0, 41.0, 5)
+    # 1 degree at res5 = 32 cells/side -> 33x33 incl. boundary cells
+    assert len(cv) == 33 * 33
+    center = int(cells.encode(np.array([40.5]), np.array([-99.5]), 5)[0])
+    assert center in set(int(c) for c in cv)
+    rg = cells.ring(center, 1)
+    assert len(rg) == 9 and center in set(int(c) for c in rg)
+
+
+def test_s2_properties():
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-85, 85, 1000)
+    lon = rng.uniform(-179, 179, 1000)
+    c = s2lite.encode(lat, lon)
+    assert np.all(c & 1 == 1)  # leaf sentinel
+    assert s2lite.level_of(int(c[0])) == 30
+    p10 = s2lite.parent(c, 10)
+    assert s2lite.level_of(int(p10[0])) == 10
+    # hierarchy: encoding directly at level 10 == parent of leaf at 10
+    c10 = s2lite.encode(lat, lon, 10)
+    assert np.array_equal(c10, p10)
+    # face correctness for cardinal directions
+    assert s2lite.face_of(s2lite.encode(np.array([0.0]), np.array([0.0])))[0] == 0
+    assert s2lite.face_of(s2lite.encode(np.array([0.0]), np.array([90.0])))[0] == 1
+    assert s2lite.face_of(s2lite.encode(np.array([89.9]), np.array([0.0])))[0] == 2
+    assert s2lite.face_of(s2lite.encode(np.array([0.0]), np.array([180.0])))[0] == 3
+    assert s2lite.face_of(s2lite.encode(np.array([0.0]), np.array([-90.0])))[0] == 4
+    assert s2lite.face_of(s2lite.encode(np.array([-89.9]), np.array([0.0])))[0] == 5
+    # locality: two points 0.001 deg apart share a coarse ancestor
+    a = s2lite.encode(np.array([37.0]), np.array([-100.0]))
+    b = s2lite.encode(np.array([37.001]), np.array([-100.001]))
+    assert s2lite.parent(a, 8)[0] == s2lite.parent(b, 8)[0]
+    # determinism
+    assert np.array_equal(c, s2lite.encode(lat, lon))
+
+
+def test_s2_hilbert_locality_monotone_on_face():
+    # points along a tiny path should produce nearby curve positions
+    lat = np.full(100, 30.0)
+    lon = np.linspace(-100.0, -99.999, 100)
+    c = s2lite.encode(lat, lon)
+    # all on same face, positions vary but stay within a small band
+    pos = (c >> np.int64(1)) & ((np.int64(1) << np.int64(60)) - np.int64(1))
+    spread = pos.max() - pos.min()
+    assert spread < np.int64(1) << np.int64(34)  # tight band for ~100m extent
