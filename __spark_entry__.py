@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with a DuckDB-verifiable oracle wherever the semantics are
+SQL-expressible (geo assignment included — the tile grid is arithmetic,
+see hand_index_spark/tables/tilegrid.py).
 """
 
 from __future__ import annotations
@@ -13,26 +13,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hand_index_spark import oracles
+from hand_index_spark.entry_queries import GEO_QUERIES, RELATIONAL, TEXTOPS
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: web-page tile assignment (PIP + kNN) at sf0.001."""
+    from hand_index_spark.pipelines.assign_tiles import assignments
+
+    return assignments(spark, "/root/testdata/sf0.001", with_s2=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(GEO_QUERIES)
+    out.update(RELATIONAL)
+    out.update(TEXTOPS)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from hand_index_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

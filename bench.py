@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline metric: end-to-end seconds across the named queries, plus the
+flagship spatial-join throughput (rows/sec) over a synthesized
+multi-million-row point table (documents at sf0.1 is only 5k rows —
+far too small to measure a 10^12-row design; the synthetic point set
+uses the same arithmetic geotag rule, BASELINE.json metric).
+
+Execution is forced with the noop sink so measured time includes full
+materialization of every column (count() alone would let Catalyst prune
+the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 4_000_000))
+
+
+def build_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.operators import assign as A
+    from hand_index_spark.operators import encode as E
+    from hand_index_spark.entry_queries import RELATIONAL
+    from hand_index_spark.pipelines.assign_tiles import assignments_full
+
+    def synth_points(n):
+        df = spark.range(n).withColumnRenamed("id", "doc_id")
+        return E.with_geotag(df)
+
+    def q_assign_synth(_spark, _sf):
+        """Flagship: geotag -> cells -> s2 -> broadcast PIP + kNN, n=SYNTH_ROWS."""
+        pts = synth_points(SYNTH_ROWS)
+        pts = E.with_cells(pts)
+        pts = E.with_s2(pts)
+        return A.assign_tiles(pts, spark, pip="convex")
+
+    def q_cells_encode_synth(_spark, _sf):
+        """Encode-only hot path (pure Catalyst, whole-stage codegen)."""
+        return E.with_cells(synth_points(SYNTH_ROWS))
+
+    def q_assign_documents(_spark, _sf):
+        return assignments_full(spark, sf_dir)
+
+    def q_tile_histogram(_spark, _sf):
+        return (
+            assignments_full(spark, sf_dir)
+            .groupBy("tile_id", "method")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+        )
+
+    return {
+        "assign_synth": q_assign_synth,
+        "cells_encode_synth": q_cells_encode_synth,
+        "assign_documents": q_assign_documents,
+        "tile_histogram": q_tile_histogram,
+        "pricing_summary": RELATIONAL["pricing_summary"],
+        "join_left_3way": RELATIONAL["join_left_3way"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from hand_index_spark.session import get_spark
+
+    spark = get_spark(
+        "hand_index_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = build_queries(spark, sf_dir)
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "assign_synth_rows": SYNTH_ROWS,
+        "assign_rows_per_sec": round(SYNTH_ROWS / max(timings["assign_synth"], 1e-9)),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

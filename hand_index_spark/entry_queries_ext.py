@@ -1,0 +1,461 @@
+"""Training-data-pipeline operator registry, batch 2 (merged into
+__spark_entry__ via entry_queries): near-dup detection (MinHash-LSH,
+SimHash, n-gram Jaccard), document fingerprinting, embedding ANN,
+multimodal binary plumbing, sessionization.
+
+Everything here is a full-oracle query: both engines evaluate the SAME
+deterministic arithmetic. The shared token hash is a cheap closed-form
+polynomial (length/first/last char) chosen because it is expressible in
+both Spark and DuckDB SQL — production would swap in xxhash64; the
+LSH/banding mechanics are identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+GEO2: dict = {}
+TEXT2: dict = {}
+ORACLES2: dict[str, str] = {}
+
+
+def _register(reg: dict, name: str, fn, oracle: str | None) -> None:
+    reg[name] = fn
+    if oracle is not None:
+        ORACLES2[name] = oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# shared token hash: h(t) = (len(t)*2654435761 + ascii(first)*65599
+#                            + ascii(last)*97) % 1000003
+
+_HASH_SQL = (
+    "((length({t}) * 2654435761 + ascii(substr({t}, 1, 1)) * 65599"
+    " + ascii(substr({t}, length({t}), 1)) * 97) % 1000003)"
+)
+
+
+def _hash_col(t):
+    """Same hash as _HASH_SQL; substring(t,-1,1) == substr(t,length(t),1)
+    for non-empty tokens in both engines."""
+    return (
+        F.length(t) * F.lit(2654435761)
+        + F.ascii(F.substring(t, 1, 1)) * F.lit(65599)
+        + F.ascii(F.substring(t, -1, 1)) * F.lit(97)
+    ) % F.lit(1000003)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: 4 permutations, 2 bands of 2 rows
+
+
+_PERMS = [(1299721, 15485863), (7919, 32452843), (104729, 49979687), (224737, 67867967)]
+_MINHASH_P = 2038074743
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    """MinHash signatures + LSH band keys per doc — pure Catalyst
+    (explode + groupBy min), zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = _hash_col(F.col("tok"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    sig = toks.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        "mh0",
+        "mh1",
+        "mh2",
+        "mh3",
+        F.concat_ws("_", "mh0", "mh1", "mh2").alias("band0"),
+        F.concat_ws("_", "mh1", "mh2", "mh3").alias("band1"),
+    )
+
+
+_mh_sql_terms = ",\n           ".join(
+    f"min(({a} * {_HASH_SQL.format(t='tok')} + {b}) % {_MINHASH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(_PERMS)
+)
+_register(
+    TEXT2,
+    "minhash_signatures",
+    _q_minhash_lsh,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+           {_mh_sql_terms}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, mh0, mh1, mh2, mh3,
+           concat(mh0, '_', mh1, '_', mh2) AS band0,
+           concat(mh1, '_', mh2, '_', mh3) AS band1
+    FROM sig
+    """,
+)
+
+
+def _q_lsh_dup_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs sharing any band bucket (the
+    shingle->minhash->band->bucket-join dedup path)."""
+    sig = _q_minhash_lsh(spark, sf_dir)
+    pairs = None
+    for band in ("band0", "band1"):
+        a = sig.select(F.col("doc_id").alias("id_a"), F.col(band).alias("bk"))
+        b = sig.select(F.col("doc_id").alias("id_b"), F.col(band).alias("bk"))
+        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+_register(
+    TEXT2,
+    "lsh_dup_pairs",
+    _q_lsh_dup_pairs,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+           {_mh_sql_terms}
+        FROM toks GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, concat(mh0, '_', mh1, '_', mh2) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, concat(mh1, '_', mh2, '_', mh3) AS bk FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit)
+
+
+def _q_simhash16(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = _hash_col(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_sim_sql_sums = ",\n           ".join(
+    f"sum(CASE WHEN (({_HASH_SQL.format(t='tok')} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_sim_sql_combine = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+_register(
+    TEXT2,
+    "simhash16",
+    _q_simhash16,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), agg AS (
+        SELECT doc_id,
+           {_sim_sql_sums}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_sim_sql_combine} AS BIGINT) AS simhash FROM agg
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# exact n-gram (unigram-set) Jaccard near-dup pairs, blocked by lang
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sets = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang"), F.col("ws").alias("wa")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang"), F.col("ws").alias("wb")
+    )
+    j = (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jac",
+            F.round(
+                F.size(F.array_intersect("wa", "wb")).cast("double")
+                / F.size(F.array_union("wa", "wb")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jac") >= 0.2).select("id_a", "id_b", "jac")
+
+
+_register(
+    TEXT2,
+    "jaccard_pairs",
+    _q_jaccard_pairs,
+    """
+    WITH s AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6)
+               AS jac
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6)
+          >= 0.2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# order-sensitive document fingerprint (rolling position hash)
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    terms = F.transform(toks, lambda x, i: _hash_col(x) * (i + F.lit(1)))
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x) % F.lit(
+        1000000007
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+_register(
+    TEXT2,
+    "doc_fingerprint",
+    _q_doc_fingerprint,
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, len(toks) + 1),
+                i -> {_HASH_SQL.format(t='toks[i]')} * i)) % 1000000007 AS BIGINT)
+               AS fingerprint
+    FROM t
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# embedding similarity: brute-force cosine top-k (ANN baseline)
+
+
+def _q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = emb.withColumn("e", dbl).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("norm").alias("qn")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("vec_id"), F.col("e").alias("ce"), F.col("norm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = (
+        q.join(c, F.col("qid") != F.col("vec_id"))
+        .withColumn("cos", dot / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "vec_id", F.round("cos", 6).alias("sim"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_register(
+    TEXT2,
+    "embedding_topk",
+    _q_embedding_topk,
+    """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        FROM embeddings
+    ), sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+               list_sum(list_transform(range(1, len(q.e) + 1),
+                        i -> q.e[i] * c.e[i])) / (q.norm * c.norm) AS cos
+        FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id != c.vec_id
+    )
+    SELECT qid, vec_id, round(cos, 6) AS sim, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        FROM sims
+    ) WHERE rank <= 3
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# multimodal: opaque binary column + typed metadata (decode is stubbed
+# behind operators/multimodal.py; the plumbing below is fully oracled)
+
+
+def _q_binary_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "utf-8"
+    )
+    return d.select(
+        "doc_id",
+        F.length(html).cast("long").alias("n_bytes"),
+        # sha2 over the pre-encoding string: identical UTF-8 bytes as the
+        # blob (DuckDB 1.0's sha256 only accepts VARCHAR)
+        F.sha2(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), 256
+        ).alias("content_sha"),
+    )
+
+
+_register(
+    TEXT2,
+    "binary_meta",
+    _q_binary_meta,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(concat('<html><body>', text, '</body></html>')))
+                AS BIGINT) AS n_bytes,
+           sha256(concat('<html><body>', text, '</body></html>')) AS content_sha
+    FROM documents
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# sessionization (window lag + cumulative sum over event stream)
+
+
+def _q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so ntz->ltz->double(seconds)
+    # matches DuckDB's epoch() exactly
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    ses = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800.0), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return ses.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_register(
+    TEXT2,
+    "sessionize",
+    _q_sessionize,
+    """
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(CAST(epoch(ts) AS DOUBLE)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR CAST(epoch(ts) AS DOUBLE)
+                            - lag(CAST(epoch(ts) AS DOUBLE)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# P6/F18: global bounds + buffered envelope (viz total_bounds analogue)
+
+
+def _q_total_bounds(spark, sf_dir):
+    from .operators import encode as E
+    from .pipelines.assign_tiles import web_pages_from_documents
+
+    pts = E.with_geotag(web_pages_from_documents(spark, sf_dir))
+    return pts.agg(
+        (F.min("lon") - F.lit(0.5)).alias("xmin"),
+        (F.min("lat") - F.lit(0.5)).alias("ymin"),
+        (F.max("lon") + F.lit(0.5)).alias("xmax"),
+        (F.max("lat") + F.lit(0.5)).alias("ymax"),
+    )
+
+
+def _q_drop_columns(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.drop("props", "value").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id", "event_type",
+    )
+
+
+def _register_geo2():
+    from .oracles import pts_cte
+
+    _register(
+        GEO2,
+        "total_bounds",
+        _q_total_bounds,
+        f"""
+        WITH pts AS ({pts_cte()})
+        SELECT min(lon) - 0.5 AS xmin, min(lat) - 0.5 AS ymin,
+               max(lon) + 0.5 AS xmax, max(lat) + 0.5 AS ymax
+        FROM pts
+        """,
+    )
+    _register(
+        TEXT2,
+        "drop_columns",
+        _q_drop_columns,
+        """
+        SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               user_id, event_type
+        FROM events
+        """,
+    )
+
+
+_register_geo2()

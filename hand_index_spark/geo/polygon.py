@@ -93,6 +93,24 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     return inside | on_edge
 
 
+def points_in_convex(px: np.ndarray, py: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    """Strict half-plane PIP for a convex CCW ring (no epsilon).
+
+    cross = (x2-x1)*(py-y1) - (y2-y1)*(px-x1) >= 0 for every edge — the
+    *exact* expression the DuckDB oracle evaluates, so engine and oracle
+    agree bit-for-bit even for points within fp-noise of an edge.
+    """
+    q = _closed(quad)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.ones(px.shape, dtype=bool)
+    for i in range(len(q) - 1):
+        x1, y1 = q[i]
+        x2, y2 = q[i + 1]
+        inside &= (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0.0
+    return inside
+
+
 def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     """Sutherland-Hodgman: clip ``subject`` ring by a *convex* ``clip`` ring.
 
@@ -233,6 +251,36 @@ def douglas_peucker(ring: np.ndarray, tol: float) -> np.ndarray:
         idx = np.linspace(0, n - 1, 3).astype(int)
         kept = pts[idx]
     return np.vstack([kept, kept[:1]])
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull -> CCW ring (open).
+
+    Used by the geometric union aggregate (operators/union_agg.py) for
+    branches whose dissolved shape is convex — exact for the fixture
+    world, a documented over-approximation for concave unions
+    (reference: ST_Union_Agg, load.py:151-159).
+    """
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort is given by np.unique
+    def half(iterable):
+        chain: list[np.ndarray] = []
+        for p in iterable:
+            while (
+                len(chain) >= 2
+                and (chain[-1][0] - chain[-2][0]) * (p[1] - chain[-2][1])
+                - (chain[-1][1] - chain[-2][1]) * (p[0] - chain[-2][0])
+                <= 0.0
+            ):
+                chain.pop()
+            chain.append(p)
+        return chain
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
 def bbox_of(ring: np.ndarray) -> tuple[float, float, float, float]:

@@ -31,12 +31,22 @@ class PackedPolygonIndex:
     Pickles compactly for broadcast (pure ndarrays + one string list).
     """
 
-    def __init__(self, ids: list, rings: list[np.ndarray], grid_res: int = 6):
+    def __init__(self, ids: list, rings: list[np.ndarray], grid_res: int | None = None):
         if len(ids) != len(rings):
             raise ValueError("ids and rings must align")
         self.ids = list(ids)
-        self.grid_res = grid_res
         n = len(rings)
+        if grid_res is None:
+            # auto: bucket cells ~ half the median polygon extent, so each
+            # polygon covers O(10) cells and each bucket holds O(1) polys
+            if n:
+                ext = np.median(
+                    [max(r[:, 0].ptp(), r[:, 1].ptp(), 1e-9) for r in rings]
+                )
+                grid_res = int(np.clip(np.ceil(-np.log2(ext)) + 1, 0, 12))
+            else:
+                grid_res = 6
+        self.grid_res = grid_res
         # ragged ring storage: one coord block + offsets
         lens = np.array([len(r) for r in rings], dtype=np.int64)
         self.ring_off = np.zeros(n + 1, dtype=np.int64)
@@ -52,6 +62,16 @@ class PackedPolygonIndex:
         self.centroid = np.zeros((n, 2), dtype=np.float64)
         for k, r in enumerate(rings):
             self.centroid[k] = P.ring_centroid(r)
+        # vertex mean with explicit left-assoc accumulation — the kNN
+        # centroid definition, bit-identical to the SQL oracle's
+        # (x_sw + x_se + x_ne + x_nw) * 0.25 expression
+        self.vmean = np.zeros((n, 2), dtype=np.float64)
+        for k, r in enumerate(rings):
+            ax, ay = 0.0, 0.0
+            for x, y in np.asarray(r, dtype=np.float64):
+                ax = ax + float(x)
+                ay = ay + float(y)
+            self.vmean[k] = (ax * (1.0 / len(r)), ay * (1.0 / len(r)))
         # grid buckets: h3lite cell -> polygon indices whose bbox covers it
         bucket: dict[int, list[int]] = {}
         for k in range(n):
@@ -94,13 +114,17 @@ class PackedPolygonIndex:
         found = self.bucket_keys[pos] == cell
         pidx = np.nonzero(found)[0]
         bpos = pos[found]
-        counts = self.bucket_off[bpos + 1] - self.bucket_off[bpos]
+        starts = self.bucket_off[bpos]
+        counts = self.bucket_off[bpos + 1] - starts
         point_idx = np.repeat(pidx, counts)
-        # gather ragged ranges
-        take = np.concatenate(
-            [np.arange(self.bucket_off[b], self.bucket_off[b + 1]) for b in bpos]
-        ) if len(bpos) else np.zeros(0, dtype=np.int64)
-        poly_idx = self.bucket_vals[take] if len(take) else np.zeros(0, dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        # vectorized ragged gather: for each matched bucket expand
+        # [start, start+count) without a Python loop
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        take = np.repeat(starts - excl, counts) + np.arange(total, dtype=np.int64)
+        poly_idx = self.bucket_vals[take]
         return point_idx, poly_idx
 
     def query_bbox(self, xmin: float, ymin: float, xmax: float, ymax: float) -> np.ndarray:
@@ -112,14 +136,19 @@ class PackedPolygonIndex:
     # --------------------------------------------------------- refinement
 
     def assign_points(
-        self, lat: np.ndarray, lon: np.ndarray
+        self, lat: np.ndarray, lon: np.ndarray, pip: str = "raycast"
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact PIP tile assignment for N points.
+
+        ``pip``: "raycast" (general simple polygons, epsilon boundary) or
+        "convex" (strict half-plane test — bit-identical to the SQL
+        oracle's cross-product expression).
 
         Returns (poly_idx int64 with -1 for no hit, multi-hit resolved to
         the smallest polygon id for determinism — same tie-break as the
         SQL oracle).
         """
+        pip_fn = P.points_in_convex if pip == "convex" else P.points_in_ring
         n = len(lat)
         point_idx, poly_idx = self.query_point_candidates(lat, lon)
         assigned = np.full(n, -1, dtype=np.int64)
@@ -141,7 +170,7 @@ class PackedPolygonIndex:
             if not inbb.any():
                 continue
             sub = pts[inbb]
-            inside = P.points_in_ring(px[inbb], py[inbb], self.ring(k))
+            inside = pip_fn(px[inbb], py[inbb], self.ring(k))
             hit_pts = sub[inside]
             rk = id_rank[k]
             better = rk < best_rank[hit_pts]

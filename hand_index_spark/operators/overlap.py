@@ -1,0 +1,125 @@
+"""Exact ROI intersection + overlap-percentage refinement.
+
+Spark restatement of the reference's two-phase filter:
+- coarse phase (query_geojson.py:65-72): here a Catalyst bbox predicate
+  + optional partition-cell pruning *before* this operator runs;
+- exact phase (query_geojson.py:158-248): this operator — vectorized
+  pandas UDFs over Arrow batches computing, per candidate polygon vs
+  the broadcast ROI: exact intersects, area, intersection area,
+  overlap%, contains/within flags, then the threshold mask
+  ``contains | within | overlap_pct >= t`` (query_geojson.py:213-219,
+  incl. the zero-area guard :194-196).
+
+The ROI is one small polygon (convex in all reference usage) —
+broadcast as plain NumPy; candidates stream through mapInPandas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+from ..geo import polygon as P
+from ..geo import wkb
+
+
+def refine_overlap(
+    df: DataFrame,
+    spark: SparkSession,
+    roi_ring: np.ndarray,
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """Append exact-refinement columns for each candidate geometry row:
+    intersects, area, inter_area, overlap_pct, contains_query,
+    within_query. ``roi_ring`` must be in the same CRS as the stored
+    geometry (EPSG:5070 in this engine, matching query_geojson.py:105).
+    """
+    bcast = spark.sparkContext.broadcast(np.asarray(roi_ring, dtype=np.float64))
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("intersects", BooleanType(), False),
+            StructField("area", DoubleType(), False),
+            StructField("inter_area", DoubleType(), False),
+            StructField("overlap_pct", DoubleType(), False),
+            StructField("contains_query", BooleanType(), False),
+            StructField("within_query", BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        roi = bcast.value
+        roi_area = abs(P.ring_area(roi))
+        for pdf in batches:
+            n = len(pdf)
+            inter = np.zeros(n, dtype=bool)
+            area = np.zeros(n, dtype=np.float64)
+            inter_area = np.zeros(n, dtype=np.float64)
+            contains_q = np.zeros(n, dtype=bool)
+            within_q = np.zeros(n, dtype=bool)
+            for i, buf in enumerate(pdf[geometry_col]):
+                if buf is None:
+                    continue
+                shells = wkb.shells(bytes(buf))
+                a = ia = 0.0
+                hit = False
+                for shell in shells:
+                    a += abs(P.ring_area(shell))
+                    if P.rings_intersect(shell, roi):
+                        hit = True
+                        ia += P.intersection_area_convex(shell, roi)
+                inter[i] = hit
+                area[i] = a
+                inter_area[i] = ia
+                # contains: geometry fully covers the ROI; within: ROI
+                # fully covers the geometry (query_geojson.py:199-204) —
+                # derived from areas with a relative epsilon
+                eps = 1e-9
+                if roi_area > 0:
+                    contains_q[i] = ia >= roi_area * (1.0 - eps)
+                if a > 0:
+                    within_q[i] = ia >= a * (1.0 - eps)
+            # overlap% with zero-area guard (query_geojson.py:194-196)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pct = np.where(area > 0, inter_area / np.maximum(area, 1e-300) * 100.0, 0.0)
+            yield pdf.assign(
+                intersects=inter,
+                area=area,
+                inter_area=inter_area,
+                overlap_pct=pct,
+                contains_query=contains_q,
+                within_query=within_q,
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def threshold_filter(df: DataFrame, threshold_pct: float = 10.0) -> DataFrame:
+    """The reference's selection mask (query_geojson.py:213-219)."""
+    return df.filter(
+        F.col("contains_query")
+        | F.col("within_query")
+        | (F.col("overlap_pct") >= F.lit(threshold_pct))
+    )
+
+
+def overlap_stats(df: DataFrame) -> dict:
+    """The reference's stats dict (query_geojson.py:206-211,236-246)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("initial"),
+        F.sum(F.col("contains_query").cast("long")).alias("contains_count"),
+        F.sum(F.col("within_query").cast("long")).alias("within_count"),
+        F.sum(
+            (
+                ~F.col("contains_query")
+                & ~F.col("within_query")
+                & (F.col("overlap_pct") > 0)
+            ).cast("long")
+        ).alias("overlap_only_count"),
+    ).collect()[0]
+    return {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}

