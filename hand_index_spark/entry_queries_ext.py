@@ -459,3 +459,130 @@ def _register_geo2():
 
 
 _register_geo2()
+
+
+# --------------------------------------------------------------------------
+# batch 3: remaining SURVEY §2 rows + multimodal plumbing
+
+
+def _q_proj_select(spark, sf_dir):
+    """P1: plain column projection (query_geojson.py:66-69)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+_register(
+    TEXT2,
+    "proj_select",
+    _q_proj_select,
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+)
+
+
+def _q_limit0_schema(spark, sf_dir):
+    """T1: LIMIT 0 schema clone (load.py:64) — empty frame, stable schema."""
+    return _t(spark, sf_dir, "nation").limit(0).select("n_nationkey", "n_name")
+
+
+_register(
+    TEXT2,
+    "limit0_schema",
+    _q_limit0_schema,
+    "SELECT n_nationkey, n_name FROM nation LIMIT 0",
+)
+
+
+def _q_raster_corners(spark, sf_dir):
+    """Raster-footprint -> vector corner math (BASELINE.json:6), with the
+    affine transform derived arithmetically from `part` so the oracle can
+    rebuild it: transform = (10, 0, partkey*100, 0, -10, partkey*100+size*10),
+    raster size = (p_size*16, p_size*8)."""
+    p = _t(spark, sf_dir, "part")
+    fp = p.select(
+        F.concat(F.lit("s3://fix/r"), F.col("p_partkey").cast("string"), F.lit(".tif")).alias("raster_path"),
+        (F.col("p_size") * F.lit(16)).alias("width"),
+        (F.col("p_size") * F.lit(8)).alias("height"),
+        F.array(
+            F.lit(10.0),
+            F.lit(0.0),
+            (F.col("p_partkey") * F.lit(100)).cast("double"),
+            F.lit(0.0),
+            F.lit(-10.0),
+            (F.col("p_partkey") * F.lit(100) + F.col("p_size") * F.lit(10)).cast("double"),
+        ).alias("transform"),
+        F.lit("EPSG:5070").alias("crs"),
+    )
+    from .operators.raster import footprints
+
+    out = footprints(fp)
+    return out.select(
+        "raster_path",
+        "x0", "y0", "x2", "y2",
+        F.col("bbox.xmin").alias("xmin"),
+        F.col("bbox.ymin").alias("ymin"),
+        F.col("bbox.xmax").alias("xmax"),
+        F.col("bbox.ymax").alias("ymax"),
+    )
+
+
+_register(
+    TEXT2,
+    "raster_corners",
+    _q_raster_corners,
+    """
+    WITH fp AS (
+        SELECT concat('s3://fix/r', CAST(p_partkey AS VARCHAR), '.tif') AS raster_path,
+               p_size * 16 AS w, p_size * 8 AS h,
+               10.0 AS a, 0.0 AS b, CAST(p_partkey * 100 AS DOUBLE) AS c,
+               0.0 AS d, -10.0 AS e,
+               CAST(p_partkey * 100 + p_size * 10 AS DOUBLE) AS f
+        FROM part
+    ), corners AS (
+        SELECT raster_path,
+               a * 0.0 + b * 0.0 + c AS x0, d * 0.0 + e * 0.0 + f AS y0,
+               a * CAST(w AS DOUBLE) + b * CAST(h AS DOUBLE) + c AS x2,
+               d * CAST(w AS DOUBLE) + e * CAST(h AS DOUBLE) + f AS y2,
+               a * CAST(w AS DOUBLE) + b * 0.0 + c AS x1,
+               d * CAST(w AS DOUBLE) + e * 0.0 + f AS y1,
+               a * 0.0 + b * CAST(h AS DOUBLE) + c AS x3,
+               d * 0.0 + e * CAST(h AS DOUBLE) + f AS y3
+        FROM fp
+    )
+    SELECT raster_path, x0, y0, x2, y2,
+           least(x0, x1, x2, x3) AS xmin, least(y0, y1, y2, y3) AS ymin,
+           greatest(x0, x1, x2, x3) AS xmax, greatest(y0, y1, y2, y3) AS ymax
+    FROM corners
+    """,
+)
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    """Opaque-binary metadata extraction over mapInPandas (decode is a
+    documented stub; plumbing is real) — rows-only driver check."""
+    from .operators.multimodal import attach_html_binary, extract_meta
+
+    d = _t(spark, sf_dir, "documents")
+    out = extract_meta(attach_html_binary(d))
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.magic").alias("magic"),
+        F.col("meta.modality").alias("modality"),
+    )
+
+
+_register(TEXT2, "multimodal_meta", _q_multimodal_meta, None)
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    """Deterministic-fake image decode through the real batch plumbing —
+    rows-only driver check."""
+    from .operators.multimodal import attach_html_binary, decode_image
+
+    d = _t(spark, sf_dir, "documents")
+    return decode_image(attach_html_binary(d), fake=True).select(
+        "doc_id", "width", "height", F.round("mean_intensity", 4).alias("mean_intensity")
+    )
+
+
+_register(TEXT2, "multimodal_decode", _q_multimodal_decode, None)
