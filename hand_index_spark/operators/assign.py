@@ -53,13 +53,15 @@ _GRID_RING = 3  # 7x7 neighborhood; nearest live centroid provably inside
 
 def build_tile_index(grid_res: int | None = None) -> PackedPolygonIndex:
     """Packed index over the deterministic tile grid (driver-side),
-    annotated with the regular-grid kNN lookup."""
+    annotated with the regular-grid lookup + packed corner arrays."""
     ids, rings = tg.tile_ids_and_rings()
     idx = PackedPolygonIndex(ids, rings, grid_res=grid_res)
     lookup = np.full((tg.NR, tg.NC), -1, dtype=np.int32)
     for pos, tid in enumerate(ids):
         lookup[tid // tg.NC, tid % tg.NC] = pos
     idx.grid_lookup = lookup  # regular-grid annotation (engine-specific)
+    # packed (T, 4, 2) corner array for the single-candidate fast path
+    idx.quad_corners = np.stack([np.asarray(r, dtype=np.float64) for r in rings])
     return idx
 
 
@@ -138,6 +140,30 @@ def _knn_topk(
 # ----------------------------------------------------------------- core
 
 
+def _assign_grid_pip(index, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """Single-candidate exact PIP for the regular inward-jittered grid.
+
+    Tiles are subsets of their grid rects and rects are disjoint, so a
+    point can only be inside the tile of its own cell — one lookup + one
+    half-plane quad test per point, ~10x less memory traffic than the
+    generic candidate machinery (verified equal in
+    tests/test_spark_ops.py::test_grid_fast_path_matches_generic).
+    Returns poly positions (-1 = no hit).
+    """
+    rc = np.clip(((lat - tg.LAT_MIN) / tg.H).astype(np.int64), 0, tg.NR - 1)
+    cc = np.clip(((lon - tg.LON_MIN) / tg.W).astype(np.int64), 0, tg.NC - 1)
+    pos = index.grid_lookup[rc, cc].astype(np.int64)
+    safe = np.where(pos >= 0, pos, 0)
+    q = index.quad_corners[safe]  # (N, 4, 2)
+    inside = pos >= 0
+    for k in range(4):
+        x1, y1 = q[:, k, 0], q[:, k, 1]
+        x2, y2 = q[:, (k + 1) % 4, 0], q[:, (k + 1) % 4, 1]
+        # exact oracle expression (tables/tilegrid determinism contract)
+        inside &= (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0.0
+    return np.where(inside, pos, np.int64(-1))
+
+
 def assign_batch(
     index: PackedPolygonIndex,
     lat: np.ndarray,
@@ -146,7 +172,10 @@ def assign_batch(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pure-NumPy core: (tile_id, method_code 0=pip/1=knn, dist2)."""
     ids_arr = np.asarray(index.ids, dtype=np.int64)
-    assigned, _ = index.assign_points(lat, lon, pip=pip)
+    if pip == "convex" and getattr(index, "grid_lookup", None) is not None:
+        assigned = _assign_grid_pip(index, lat, lon)
+    else:
+        assigned, _ = index.assign_points(lat, lon, pip=pip)
     hit = assigned >= 0
     tile_id = np.where(hit, ids_arr[np.clip(assigned, 0, None)], np.int64(-1))
     mcode = (~hit).astype(np.int8)
@@ -171,6 +200,9 @@ _ASSIGN_STRUCT = StructType(
         StructField("dist2", DoubleType(), False),
     ]
 )
+_ASSIGN_S2_STRUCT = StructType(
+    _ASSIGN_STRUCT.fields + [StructField("s2_cell", LongType(), False)]
+)
 
 
 def assign_tiles(
@@ -180,28 +212,48 @@ def assign_tiles(
     lat_col: str = "lat",
     lon_col: str = "lon",
     pip: str = "convex",
+    with_s2: bool = False,
 ) -> DataFrame:
-    """Append (tile_id, method, dist2) via broadcast + scalar struct UDF.
+    """Append (tile_id, method, dist2 [, s2_cell]) via broadcast + one
+    scalar struct UDF.
 
     Only (lat, lon) cross the Arrow boundary; all other columns —
-    arbitrarily wide at web scale — stay in the JVM.
+    arbitrarily wide at web scale — stay in the JVM. ``with_s2=True``
+    fuses the S2 encoder into the same UDF: one ArrowEvalPython stage
+    instead of two (two stages double the Python worker count per core,
+    which oversubscribes the host and measurably *reduces* throughput at
+    high core counts — see BENCH/BASELINE.md).
     """
     if index is None:
         index = build_tile_index()
     bcast = spark.sparkContext.broadcast(index)
 
-    @pandas_udf(_ASSIGN_STRUCT)
-    def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
-        idx = bcast.value
-        tile_id, mcode, dist2 = assign_batch(
-            idx,
-            lat.to_numpy(dtype=np.float64),
-            lon.to_numpy(dtype=np.float64),
-            pip=pip,
-        )
-        return pd.DataFrame({"tile_id": tile_id, "mcode": mcode, "dist2": dist2})
+    if with_s2:
+        from ..geo import s2lite
+        from .encode import S2_LEVEL
 
-    return (
+        @pandas_udf(_ASSIGN_S2_STRUCT)
+        def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+            la = lat.to_numpy(dtype=np.float64)
+            lo = lon.to_numpy(dtype=np.float64)
+            tile_id, mcode, dist2 = assign_batch(bcast.value, la, lo, pip=pip)
+            s2 = s2lite.encode(la, lo, S2_LEVEL)
+            return pd.DataFrame(
+                {"tile_id": tile_id, "mcode": mcode, "dist2": dist2, "s2_cell": s2}
+            )
+    else:
+
+        @pandas_udf(_ASSIGN_STRUCT)
+        def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+            tile_id, mcode, dist2 = assign_batch(
+                bcast.value,
+                lat.to_numpy(dtype=np.float64),
+                lon.to_numpy(dtype=np.float64),
+                pip=pip,
+            )
+            return pd.DataFrame({"tile_id": tile_id, "mcode": mcode, "dist2": dist2})
+
+    out = (
         df.withColumn("__a", _assign(F.col(lat_col), F.col(lon_col)))
         .withColumn("tile_id", F.col("__a.tile_id"))
         .withColumn(
@@ -209,5 +261,7 @@ def assign_tiles(
             F.when(F.col("__a.mcode") == 0, F.lit("pip")).otherwise(F.lit("knn")),
         )
         .withColumn("dist2", F.col("__a.dist2"))
-        .drop("__a")
     )
+    if with_s2:
+        out = out.withColumn("s2_cell", F.col("__a.s2_cell"))
+    return out.drop("__a")

@@ -51,9 +51,7 @@ def assignments(
     pages = web_pages_from_documents(spark, sf_dir)
     pages = E.with_geotag(pages)
     pages = E.with_cells(pages, resolutions=(E.PARTITION_RES,))
-    if with_s2:
-        pages = E.with_s2(pages)
-    assigned = A.assign_tiles(pages, spark, pip="convex")
+    assigned = A.assign_tiles(pages, spark, pip="convex", with_s2=with_s2)
     cols = ["url", "tile_id", "method", "dist2", "cell_id"]
     if with_s2:
         cols.append("s2_cell")
@@ -62,9 +60,9 @@ def assignments(
 
 def assignments_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-width variant: all cell resolutions + s2 + text passthrough,
-    used by the bench and the byte-identity invariant test."""
+    used by the bench and the byte-identity invariant test. S2 fuses into
+    the assignment UDF: one Python stage total."""
     pages = web_pages_from_documents(spark, sf_dir)
     pages = E.with_geotag(pages)
     pages = E.with_cells(pages)
-    pages = E.with_s2(pages)
-    return A.assign_tiles(pages, spark, pip="convex")
+    return A.assign_tiles(pages, spark, pip="convex", with_s2=True)

@@ -50,7 +50,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transport for pandas UDFs — the vectorized-only mandate.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         # Explicit shuffle sizing; never rely on the default 200.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Partition files at ~128MB splits like a real cluster would.

@@ -1,0 +1,89 @@
+"""Skew handling + Structured Streaming ingest tests (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hand_index_spark.operators import assign as A
+from hand_index_spark.operators import encode as E
+from hand_index_spark.operators.skew import detect_hot_cells, salted_repartition
+
+
+@pytest.fixture(scope="module")
+def assigned(spark):
+    base = E.with_geotag(spark.range(30000).withColumnRenamed("id", "doc_id"))
+    # urban-hotspot skew: 40% of pages pile into one small neighborhood
+    base = base.withColumn(
+        "lat",
+        F.when(F.col("doc_id") % 5 < 2, F.lit(37.7) + (F.col("doc_id") % 97) / 10000.0)
+        .otherwise(F.col("lat")),
+    ).withColumn(
+        "lon",
+        F.when(F.col("doc_id") % 5 < 2, F.lit(-122.4) + (F.col("doc_id") % 89) / 10000.0)
+        .otherwise(F.col("lon")),
+    )
+    base = base.withColumn("url", F.concat(F.lit("u"), F.col("doc_id")))
+    base = E.with_cells(base, resolutions=(5,))
+    return A.assign_tiles(base, spark).withColumn("cell_id", F.col("h3_r5")).cache()
+
+
+def test_detect_hot_cells(spark, assigned):
+    hot = detect_hot_cells(assigned, "cell_id", quantile=0.95)
+    assert 0 < len(hot)
+    counts = assigned.groupBy("cell_id").count().toPandas().set_index("cell_id")["count"]
+    cold_median = counts.median()
+    assert all(counts[h] >= cold_median for h in hot)
+
+
+def test_salted_repartition_preserves_results(spark, assigned):
+    hot = detect_hot_cells(assigned, "cell_id", quantile=0.95)
+    salted = salted_repartition(
+        assigned, 16, cell_col="cell_id", salt_key="url", hot_cells=hot
+    )
+    a = assigned.groupBy("cell_id").count().toPandas().sort_values("cell_id").reset_index(drop=True)
+    b = salted.groupBy("cell_id").count().toPandas().sort_values("cell_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert salted.rdd.getNumPartitions() == 16
+    # hot cells actually spread over >1 partition
+    pid = salted.filter(F.col("cell_id") == hot[0]).withColumn(
+        "p", F.spark_partition_id()
+    )
+    assert pid.select("p").distinct().count() > 1
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    from hand_index_spark.streaming.ingest import (
+        assigned_stream,
+        stream_pages,
+        write_assignments,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch_df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    batch_df.write.parquet(src)
+
+    pages = stream_pages(spark, src, batch_df.schema)
+    q = write_assignments(assigned_stream(spark, pages), out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .select("doc_id", "tile_id", "method")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_df = A.assign_tiles(
+        E.with_cells(E.with_geotag(batch_df), resolutions=(E.PARTITION_RES,)),
+        spark,
+    )
+    want = (
+        want_df.select("doc_id", "tile_id", "method")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)

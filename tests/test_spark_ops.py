@@ -46,6 +46,23 @@ def test_knn_grid_matches_full_bruteforce():
     assert (pos_k == pos_f).all()
 
 
+def test_grid_fast_path_matches_generic():
+    """Single-candidate grid PIP == generic candidate machinery, incl.
+    points outside the extent and on rect boundaries."""
+    idx = A.build_tile_index()
+    g = np.linspace(-0.1, 1.1, 400)
+    lat = (tg.LAT_MIN + g * (tg.LAT_MAX - tg.LAT_MIN)).repeat(50)
+    lon = np.tile(
+        tg.LON_MIN + np.linspace(-0.05, 1.05, 50) * (tg.LON_MAX - tg.LON_MIN), 400
+    )
+    # exact rect-boundary points
+    lat = np.concatenate([lat, np.full(tg.NC, tg.LAT_MIN + 2 * tg.H)])
+    lon = np.concatenate([lon, tg.LON_MIN + np.arange(tg.NC) * tg.W])
+    fast = A._assign_grid_pip(idx, lat, lon)
+    gen, _ = idx.assign_points(lat, lon, pip="convex")
+    assert (fast == gen).all()
+
+
 def test_assignment_partitioning_invariance(spark):
     """Same input at different partitioning -> identical assignments
     (SURVEY.md §5.2 item 4)."""
