@@ -586,3 +586,105 @@ def _q_multimodal_decode(spark, sf_dir):
 
 
 _register(TEXT2, "multimodal_decode", _q_multimodal_decode, None)
+
+
+# --------------------------------------------------------------------------
+# ANN scale path: random-hyperplane LSH buckets -> exact cosine within
+# bucket (brute-force embedding_topk is the baseline; this is the
+# bucketed variant that survives 10^12-row scale: candidates shrink by
+# the bucket factor before any pairwise math)
+
+_N_PLANES = 4
+
+
+def _plane_component_sql(p: int, i: str) -> str:
+    """Deterministic hyperplane component: identical arithmetic both
+    engines; values in [-9, 9]."""
+    return f"(CAST((({p} * 37 + {i} * 101) % 19) AS DOUBLE) - 9.0)"
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = emb.withColumn("e", dbl).withColumn(
+        "norm", F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+    # bucket bits: sign of dot(e, plane_p); plane_p[i] = ((p*37+i*101)%19)-9
+    def _plane_term(p: int):
+        def fn(x, i):
+            return x * ((((F.lit(p) * 37 + i * 101) % 19).cast("double")) - F.lit(9.0))
+
+        return fn
+
+    bucket = None
+    for p in range(_N_PLANES):
+        dot = F.aggregate(
+            F.transform(F.col("e"), _plane_term(p)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bit = F.when(dot >= 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    emb = emb.withColumn("bucket", bucket.cast("long"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    c = emb.select(
+        "vec_id", F.col("e").alias("ce"), F.col("norm").alias("cn"),
+        F.col("bucket").alias("cb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = (
+        q.join(c, (F.col("qb") == F.col("cb")) & (F.col("qid") != F.col("vec_id")))
+        .withColumn("cos", dot / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "qid", "vec_id", F.round("cos", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_bucket_sql_bits = " + ".join(
+    "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+    f"i -> e[i] * {_plane_component_sql(p, '(i - 1)')})) >= 0.0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(_N_PLANES)
+)
+_register(
+    TEXT2,
+    "ann_lsh_topk",
+    _q_ann_lsh_topk,
+    f"""
+    WITH e0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), e AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm,
+               CAST({_bucket_sql_bits} AS BIGINT) AS bucket
+        FROM e0
+    ), sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+               list_sum(list_transform(range(1, len(q.e) + 1),
+                        i -> q.e[i] * c.e[i])) / (q.norm * c.norm) AS cos
+        FROM e q JOIN e c
+          ON q.vec_id < 5 AND q.bucket = c.bucket AND q.vec_id != c.vec_id
+    )
+    SELECT qid, vec_id, round(cos, 6) AS sim, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        FROM sims
+    ) WHERE rank <= 3
+    """,
+)
