@@ -153,12 +153,21 @@ _register(
 
 
 def _q_s2_cells(spark, sf_dir):
-    """S2 cell ids (pandas UDF) — no SQL-expressible oracle: rows-only."""
+    """S2 cell ids (canonical S2 construction, pandas UDF) — fully
+    oracled: geo.s2lite.encode_sql_query re-derives the identical
+    face/uv/st/ij/Hilbert pipeline in DuckDB SQL."""
     pts = E.with_s2(_pts(spark, sf_dir))
     return pts.select("url", "s2_cell")
 
 
-_register(GEO_QUERIES, "s2_cells", _q_s2_cells, None)
+from .geo import s2lite as _s2  # noqa: E402
+
+_register(
+    GEO_QUERIES,
+    "s2_cells",
+    _q_s2_cells,
+    _s2.encode_sql_query(oracles.pts_cte(), keys=("url",), level=E.S2_LEVEL),
+)
 
 
 # --------------------------------------------------------------------------

@@ -8,11 +8,14 @@ Implements the standard published S2 pipeline (s2geometry.io docs):
   ``face(3 bits) | curve_position(2*level bits) | 1 (sentinel)``.
 
 The Hilbert traversal uses the canonical 4-entry lookup tables
-(swap/invert orientation algebra). No external s2 library exists in this
-environment to diff against, so tests assert the construction's defining
-properties instead: determinism, bijectivity of ij<->pos at fixed
-orientation, parent-by-truncation hierarchy, face correctness, and
-locality (neighbors share long prefixes).
+(swap/invert orientation algebra) and the canonical ValidFaceXYZtoUV
+face frames from s2coords.h (signed-major-component divisor on all six
+faces). No external s2 library exists in this environment to diff
+against, so tests assert the construction's defining properties
+(determinism, bijectivity of ij<->pos at fixed orientation,
+parent-by-truncation hierarchy, face correctness, locality) plus a
+full cross-engine oracle: oracles.s2_cells_sql() re-derives the
+identical pipeline in DuckDB SQL and the driver hash-compares both.
 
 Loop structure: 30 iterations over levels, each fully vectorized across
 points — suitable for pandas UDFs over Arrow batches.
@@ -57,7 +60,10 @@ def _face_uv(x, y, z) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
     major = np.choose(face, [x, y, z])
     face = np.where(major < 0, face + 3, face).astype(np.int64)
-    # u/v axes per face (standard S2 face frames)
+    # u/v axes per face — canonical S2 ValidFaceXYZtoUV frames
+    # (s2coords.h): the divisor is the SIGNED major component, so
+    # negative faces (3-5) keep the spec's u/v signs. (Round-1 shipped
+    # inverted signs on faces 3-5; fixed for real-S2 interoperability.)
     u = np.empty_like(x)
     v = np.empty_like(x)
     for f, (ue, ve, me) in enumerate(
@@ -65,9 +71,9 @@ def _face_uv(x, y, z) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             (lambda: y, lambda: z, lambda: x),
             (lambda: -x, lambda: z, lambda: y),
             (lambda: -x, lambda: -y, lambda: z),
-            (lambda: z, lambda: y, lambda: -x),
-            (lambda: z, lambda: -x, lambda: -y),
-            (lambda: -y, lambda: -x, lambda: -z),
+            (lambda: z, lambda: y, lambda: x),
+            (lambda: z, lambda: -x, lambda: y),
+            (lambda: -y, lambda: -x, lambda: z),
         ]
     ):
         m = face == f
@@ -110,6 +116,81 @@ def encode(lat: np.ndarray, lon: np.ndarray, level: int = MAX_LEVEL) -> np.ndarr
         lsb = np.int64(1) << np.int64(2 * (MAX_LEVEL - level))
         cell = (cell & ~(lsb - np.int64(1)) & ~lsb) | lsb
     return cell
+
+
+def encode_sql_query(pts_sql: str, keys: tuple[str, ...] = ("url",), level: int = 16) -> str:
+    """DuckDB SQL producing the identical cell id — the oracle twin of
+    :func:`encode` at ``level``.
+
+    ``pts_sql`` is a relation body with columns ``keys`` + lat + lon;
+    the result has columns ``keys`` + ``s2_cell``. The whole pipeline is
+    mirrored operation-for-operation (same IEEE order): trig via
+    ``x * pi() / 180.0`` (numpy's deg2rad is ``x * PI / 180.0``), the
+    quadratic st transform, the 30-bit ij discretization, and the
+    top-``level`` Hilbert fold with the same lookup tables (the
+    truncated cell id depends on nothing below the top bit-pairs — see
+    :func:`encode`'s masking). Each fold step is its own subquery layer:
+    DuckDB expands *lateral* column aliases by textual substitution, so
+    a single-SELECT recurrence would blow up exponentially. The final
+    composition wraps through HUGEINT because ``face >= 4`` overflows
+    the int64 sign bit (numpy wraps silently; DuckDB BIGINT raises).
+    """
+    ks = ", ".join(keys)
+    # geometric stage: lat/lon -> face, 30-bit (i, j); lateral aliases
+    # here are shallow (no recurrence), so substitution stays small
+    geom_cols = f"""{ks},
+        ({{lat}} * pi() / 180.0) AS phi,
+        ({{lon}} * pi() / 180.0) AS lam,
+        cos(phi) * cos(lam) AS gx,
+        cos(phi) * sin(lam) AS gy,
+        sin(phi) AS gz,
+        CASE WHEN abs(gx) >= abs(gy)
+             THEN CASE WHEN abs(gx) >= abs(gz) THEN 0 ELSE 2 END
+             ELSE CASE WHEN abs(gy) >= abs(gz) THEN 1 ELSE 2 END END AS face0,
+        CASE face0 WHEN 0 THEN gx WHEN 1 THEN gy ELSE gz END AS major,
+        CASE WHEN major < 0 THEN face0 + 3 ELSE face0 END AS face,
+        CASE face WHEN 0 THEN gy / gx WHEN 1 THEN -gx / gy
+                  WHEN 2 THEN -gx / gz WHEN 3 THEN gz / gx
+                  WHEN 4 THEN gz / gy ELSE -gy / gz END AS uu,
+        CASE face WHEN 0 THEN gz / gx WHEN 1 THEN gz / gy
+                  WHEN 2 THEN -gy / gz WHEN 3 THEN gy / gx
+                  WHEN 4 THEN -gx / gy ELSE -gx / gz END AS vv,
+        CASE WHEN uu >= 0.0 THEN 0.5 * sqrt(greatest(1.0 + 3.0 * uu, 0.0))
+             ELSE 1.0 - 0.5 * sqrt(greatest(1.0 - 3.0 * uu, 0.0)) END AS ss,
+        CASE WHEN vv >= 0.0 THEN 0.5 * sqrt(greatest(1.0 + 3.0 * vv, 0.0))
+             ELSE 1.0 - 0.5 * sqrt(greatest(1.0 - 3.0 * vv, 0.0)) END AS tt,
+        LEAST(GREATEST(CAST(floor(ss * {float(1 << MAX_LEVEL)!r}) AS BIGINT), 0),
+              {(1 << MAX_LEVEL) - 1}) AS hi,
+        LEAST(GREATEST(CAST(floor(tt * {float(1 << MAX_LEVEL)!r}) AS BIGINT), 0),
+              {(1 << MAX_LEVEL) - 1}) AS hj
+    """.format(lat="lat", lon="lon")
+    base = (
+        f"SELECT {ks}, face, hi, hj, face % 2 AS o, CAST(0 AS HUGEINT) AS pos"
+        f" FROM (SELECT {geom_cols} FROM ({pts_sql}))"
+    )
+    pos_branches = " ".join(
+        f"WHEN {o * 4 + ij} THEN {int(_IJ_TO_POS[o, ij])}"
+        for o in range(4)
+        for ij in range(4)
+    )
+    for t in range(level):
+        k = MAX_LEVEL - 1 - t
+        base = f"""SELECT {ks}, face, hi, hj,
+            CASE WHEN p = 0 THEN xor(o, 1)
+                 WHEN p = 3 THEN xor(o, 3) ELSE o END AS o,
+            pos * 4 + p AS pos
+        FROM (SELECT {ks}, face, hi, hj, o, pos,
+                     CASE o * 4 + ((hi >> {k}) & 1) * 2 + ((hj >> {k}) & 1)
+                          {pos_branches} END AS p
+              FROM ({base}))"""
+    shift = 2 * (MAX_LEVEL - level) + 1
+    return f"""SELECT {ks},
+        CAST(CASE WHEN cell_huge >= {1 << 63} THEN cell_huge - {1 << 64}
+                  ELSE cell_huge END AS BIGINT) AS s2_cell
+    FROM (SELECT {ks},
+                 CAST(face AS HUGEINT) * {1 << (2 * MAX_LEVEL + 1)}
+                 + pos * {1 << shift} + {1 << (shift - 1)} AS cell_huge
+          FROM ({base}))"""
 
 
 def parent(cell: np.ndarray, level: int) -> np.ndarray:
