@@ -683,3 +683,10 @@ from .entry_queries_ext import GEO2, ORACLES2, TEXT2  # noqa: E402
 GEO_QUERIES.update(GEO2)
 TEXTOPS.update(TEXT2)
 ORACLES.update(ORACLES2)
+
+# batch 3 (round 2): oracles for the formerly pytest-only operators
+from .entry_queries_r2 import GEO3, ORACLES3, TEXT3  # noqa: E402
+
+GEO_QUERIES.update(GEO3)
+TEXTOPS.update(TEXT3)
+ORACLES.update(ORACLES3)

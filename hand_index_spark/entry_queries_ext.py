@@ -557,12 +557,20 @@ _register(
 
 
 def _q_multimodal_meta(spark, sf_dir):
-    """Opaque-binary metadata extraction over mapInPandas (decode is a
-    documented stub; plumbing is real) — rows-only driver check."""
+    """Opaque-binary metadata extraction over mapInPandas. Payloads mix
+    jpeg/png/riff magic prefixes onto the html bytes (doc_id % 4) so the
+    magic-dispatch table is actually exercised; fully oracled — the
+    metadata is deterministic arithmetic over the UTF-8 bytes."""
     from .operators.multimodal import attach_html_binary, extract_meta
 
-    d = _t(spark, sf_dir, "documents")
-    out = extract_meta(attach_html_binary(d))
+    d = attach_html_binary(_t(spark, sf_dir, "documents"))
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.unhex(F.lit("FFD8FF")), F.col("html")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.unhex(F.lit("89504E")), F.col("html")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.unhex(F.lit("524946")), F.col("html")))
+        .otherwise(F.col("html"))
+    )
+    out = extract_meta(d.withColumn("payload", payload), binary_col="payload")
     return out.select(
         "doc_id",
         F.col("meta.n_bytes").alias("n_bytes"),
@@ -571,12 +579,31 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
-_register(TEXT2, "multimodal_meta", _q_multimodal_meta, None)
+_HTML_LEN_SQL = "octet_length(encode(concat('<html><body>', text, '</body></html>')))"
+
+_register(
+    TEXT2,
+    "multimodal_meta",
+    _q_multimodal_meta,
+    f"""
+    SELECT doc_id,
+           CAST({_HTML_LEN_SQL}
+                + CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 3 ELSE 0 END AS BIGINT)
+               AS n_bytes,
+           CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'riff' ELSE 'html' END AS magic,
+           CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+                           WHEN 2 THEN 'audio' ELSE 'text' END AS modality
+    FROM documents
+    """,
+)
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    """Deterministic-fake image decode through the real batch plumbing —
-    rows-only driver check."""
+    """Deterministic-fake image decode through the real batch plumbing.
+    Fully oracled: the fake's w/h derive from the (constant) first 8
+    payload bytes and mean_intensity is the exact integer byte-sum over
+    the UTF-8 html divided by its length — SQL recomputes both."""
     from .operators.multimodal import attach_html_binary, decode_image
 
     d = _t(spark, sf_dir, "documents")
@@ -585,7 +612,21 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
-_register(TEXT2, "multimodal_decode", _q_multimodal_decode, None)
+def _decode_oracle_sql() -> str:
+    seed = int.from_bytes(b"<html><b", "little")
+    w = 16 + seed % 64
+    h = 16 + (seed >> 8) % 64
+    return f"""
+    SELECT doc_id, {w} AS width, {h} AS height,
+           round(CAST(list_sum(list_transform(
+                     range(1, length(concat('<html><body>', text, '</body></html>')) + 1),
+                     i -> ascii(substr(concat('<html><body>', text, '</body></html>'), i, 1))))
+                 AS DOUBLE) / {_HTML_LEN_SQL}, 4) AS mean_intensity
+    FROM documents
+    """
+
+
+_register(TEXT2, "multimodal_decode", _q_multimodal_decode, _decode_oracle_sql())
 
 
 # --------------------------------------------------------------------------

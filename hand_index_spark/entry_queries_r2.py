@@ -1,0 +1,530 @@
+"""Driver-contract registry, batch 3 (round 2): oracles for the
+operators that round 1 verified only in pytest (VERDICT.md "Next round"
+items 1-2): geometric union aggregate + the build_catchments pipeline
+core (A1, F3', F7 forward+inverse, F8, F10), the WKB codec round-trip
+(F4-F6), the exact overlap refinement (F11, F13-F16), GeoJSON-ROI PIP
+filtering (S3/P5), icelite snapshots/lineage/atomic publish (D1-D6),
+Structured Streaming batch parity (§2.10), and salted-repartition
+invariance (§2.11).
+
+Cross-engine float rules used here (see also tables/tilegrid.py):
+- trig-free arithmetic (tile corners, rect clipping with power-of-two
+  extents) is compared EXACTLY — both engines produce bit-identical
+  doubles;
+- trig-bearing outputs (Albers x/y) are compared through a coarse
+  discretization (floor to whole meters / cell encoding) because
+  numpy's array-mode sin/cos/log differ from DuckDB's libm by 1-2 ulp;
+  the discretization grid is >= 1e9x the ulp slack, so flips are
+  vanishingly improbable.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType
+
+from .geo import albers
+from .geo import cells as h3lite
+from .geo import polygon as P
+from .geo import wkb
+from .tables import tilegrid as tg
+
+GEO3: dict = {}
+TEXT3: dict = {}
+ORACLES3: dict[str, str] = {}
+
+
+def _register(reg: dict, name: str, fn, oracle: str | None) -> None:
+    reg[name] = fn
+    if oracle is not None:
+        ORACLES3[name] = oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# F4-F6: WKB codec round-trip (reference ST_AsWKB/shapely.wkb.loads,
+# load.py:163 / query_geojson.py:129-131). The tile corners are
+# closed-form hash arithmetic in degrees (zero trig), so the decoded
+# coordinates must match the oracle's tiles_sql() BIT-FOR-BIT — a float64
+# that survives encode->WKB bytes->decode unchanged.
+
+_RT_SCHEMA = (
+    "tile_id long, n_rings long, n_pts long, "
+    "x_sw double, y_sw double, x_se double, y_se double, "
+    "x_ne double, y_ne double, x_nw double, y_nw double"
+)
+
+
+def _q_wkb_roundtrip(spark, sf_dir):
+    ids, rings = tg.tile_ids_and_rings()
+    rows = [(int(t), bytearray(wkb.polygon_to_wkb([r]))) for t, r in zip(ids, rings)]
+    df = spark.createDataFrame(rows, "tile_id long, geometry binary")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for tid, buf in zip(pdf["tile_id"], pdf["geometry"]):
+                gtype, payload = wkb.parse_wkb(bytes(buf))
+                assert gtype == wkb.WKB_POLYGON
+                ring = payload[0]  # closed on write: 5 points
+                out.append(
+                    (
+                        int(tid),
+                        len(payload),
+                        len(ring),
+                        ring[0, 0], ring[0, 1], ring[1, 0], ring[1, 1],
+                        ring[2, 0], ring[2, 1], ring[3, 0], ring[3, 1],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "tile_id", "n_rings", "n_pts",
+                    "x_sw", "y_sw", "x_se", "y_se", "x_ne", "y_ne", "x_nw", "y_nw",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=_RT_SCHEMA)
+
+
+_register(
+    GEO3,
+    "wkb_roundtrip",
+    _q_wkb_roundtrip,
+    f"""
+    WITH tiles AS ({tg.tiles_sql()})
+    SELECT tile_id, CAST(1 AS BIGINT) AS n_rings, CAST(5 AS BIGINT) AS n_pts,
+           x_sw, y_sw, x_se, y_se, x_ne, y_ne, x_nw, y_nw
+    FROM tiles
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# F7: Albers-5070 forward transform per page, floor-to-meter discretized
+# (raw doubles would expose numpy-vs-libm trig ulps; one meter of grid
+# vs nanometers of slack).
+
+
+@pandas_udf(DoubleType())
+def _albers_fwd_x(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    x, _ = albers.forward(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    return pd.Series(x)
+
+
+@pandas_udf(DoubleType())
+def _albers_fwd_y(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    _, y = albers.forward(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    return pd.Series(y)
+
+
+def _q_albers_forward(spark, sf_dir):
+    from .operators import encode as E
+    from .pipelines.assign_tiles import web_pages_from_documents
+
+    pts = E.with_geotag(web_pages_from_documents(spark, sf_dir))
+    return pts.select(
+        "url",
+        F.floor(_albers_fwd_x(F.col("lon"), F.col("lat"))).cast("long").alias("x_m"),
+        F.floor(_albers_fwd_y(F.col("lon"), F.col("lat"))).cast("long").alias("y_m"),
+    )
+
+
+def _albers_forward_sql() -> str:
+    from .oracles import pts_cte
+
+    return f"""
+    WITH pts AS ({pts_cte()})
+    SELECT url, CAST(floor(ax) AS BIGINT) AS x_m, CAST(floor(ay) AS BIGINT) AS y_m
+    FROM (SELECT url, {albers.forward_sql("lon", "lat")} FROM pts)
+    """
+
+
+_register(GEO3, "albers_forward", _q_albers_forward, _albers_forward_sql())
+
+
+# --------------------------------------------------------------------------
+# A1 + the build pipeline core: per-branch union-agg -> centroid ->
+# Albers inverse -> multi-res cells -> deterministic ids (load.py:146-168
+# restated). Oracle rebuilds every step in SQL from the closed-form tile
+# grid: forward-project the quad corners, bbox via least/greatest
+# (floored to meters), shoelace centroid, 8-iteration Albers inverse,
+# h3lite cell encode (cell grids are ~1e9x wider than the trig slack).
+
+
+def _q_union_catchments(spark, sf_dir):
+    from .pipelines.build_index import build_catchments
+    from .tables.datagen import tiles_raw
+
+    cat = build_catchments(tiles_raw(spark))
+    return cat.select(
+        "branch_path",
+        "catchment_id",
+        "geom_count",
+        F.floor(F.col("bbox.xmin")).cast("long").alias("xmin_m"),
+        F.floor(F.col("bbox.ymin")).cast("long").alias("ymin_m"),
+        F.floor(F.col("bbox.xmax")).cast("long").alias("xmax_m"),
+        F.floor(F.col("bbox.ymax")).cast("long").alias("ymax_m"),
+        "h3_index",
+        "h3_r5",
+        "h3_r7",
+        "h3_r9",
+    )
+
+
+def _union_catchments_sql() -> str:
+    from .pipelines.build_index import CATCHMENT_PARTITION_RES
+
+    corners = " UNION ALL ".join(
+        f"SELECT tile_id, {ci} AS ci, {xc} AS lon, {yc} AS lat FROM tiles"
+        for ci, (xc, yc) in enumerate(
+            [("x_sw", "y_sw"), ("x_se", "y_se"), ("x_ne", "y_ne"), ("x_nw", "y_nw")]
+        )
+    )
+    pick = ", ".join(
+        f"max(CASE ci WHEN {i} THEN ax END) AS x{i},"
+        f" max(CASE ci WHEN {i} THEN ay END) AS y{i}"
+        for i in range(4)
+    )
+    cross = [f"(x{i} * y{(i + 1) % 4} - x{(i + 1) % 4} * y{i})" for i in range(4)]
+    cent_x = " + ".join(f"(x{i} + x{(i + 1) % 4}) * {cross[i]}" for i in range(4))
+    cent_y = " + ".join(f"(y{i} + y{(i + 1) % 4}) * {cross[i]}" for i in range(4))
+    inv = albers.inverse_sql_query(
+        "SELECT tile_id, cx AS ax, cy AS ay FROM cent", keys=("tile_id",)
+    )
+    cells = ", ".join(
+        f"{h3lite.encode_sql('lat', 'lon', r)} AS h3_r{r}" for r in (5, 7, 9)
+    )
+    return f"""
+    WITH tiles AS ({tg.tiles_sql()}),
+    corners AS ({corners}),
+    proj AS (
+        SELECT tile_id, ci, ax, ay
+        FROM (SELECT tile_id, ci, {albers.forward_sql("lon", "lat")} FROM corners)
+    ),
+    quad AS (SELECT tile_id, {pick} FROM proj GROUP BY tile_id),
+    cent AS (
+        SELECT tile_id,
+               least(x0, x1, x2, x3) AS bxmin, least(y0, y1, y2, y3) AS bymin,
+               greatest(x0, x1, x2, x3) AS bxmax, greatest(y0, y1, y2, y3) AS bymax,
+               ({cent_x}) / (6.0 * (({" + ".join(cross)}) / 2.0)) AS cx,
+               ({cent_y}) / (6.0 * (({" + ".join(cross)}) / 2.0)) AS cy
+        FROM quad
+    ),
+    lonlat AS ({inv})
+    SELECT concat('s3://fix/huc',
+                  lpad(CAST(c.tile_id // {tg.NC} AS VARCHAR), 2, '0'),
+                  '/branches/b', CAST(c.tile_id AS VARCHAR), '/') AS branch_path,
+           sha256(concat('s3://fix/huc',
+                  lpad(CAST(c.tile_id // {tg.NC} AS VARCHAR), 2, '0'),
+                  '/branches/b', CAST(c.tile_id AS VARCHAR), '/')) AS catchment_id,
+           CAST(2 + (c.tile_id * 2654435761) % 3 AS BIGINT) AS geom_count,
+           CAST(floor(c.bxmin) AS BIGINT) AS xmin_m,
+           CAST(floor(c.bymin) AS BIGINT) AS ymin_m,
+           CAST(floor(c.bxmax) AS BIGINT) AS xmax_m,
+           CAST(floor(c.bymax) AS BIGINT) AS ymax_m,
+           {h3lite.encode_sql("lat", "lon", CATCHMENT_PARTITION_RES)} AS h3_index,
+           {cells}
+    FROM cent c JOIN lonlat l ON c.tile_id = l.tile_id
+    """
+
+
+_register(GEO3, "union_catchments", _q_union_catchments, _union_catchments_sql())
+
+
+# --------------------------------------------------------------------------
+# F11/F13-F16: exact overlap refinement over axis-aligned rectangles with
+# power-of-two extents. Every Sutherland-Hodgman intersection point then
+# lands on exact integer coordinates ((c-x0)/2^k and the back-multiply
+# are both exact), all shoelace products stay < 2^53, so intersects/
+# area/inter_area/overlap_pct/contains/within are compared as RAW
+# doubles — zero float risk, full-strength oracle for the refine kernel.
+
+_ROI_RECT = (8192.0, 4096.0, 9216.0, 4608.0)  # x0, y0, x1, y1
+
+
+@pandas_udf(BinaryType())
+def _rect_wkb(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+    out = []
+    for a, b, c, d in zip(x0, y0, x1, y1):
+        ring = np.array([[a, b], [c, b], [c, d], [a, d]], dtype=np.float64)
+        out.append(wkb.polygon_to_wkb([ring]))
+    return pd.Series(out)
+
+
+def _q_overlap_refine(spark, sf_dir):
+    from .operators.overlap import refine_overlap
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0)
+    x0 = (F.col("p_partkey") * 64).cast("double")
+    y0 = (F.col("p_partkey") * 32).cast("double")
+    x1 = x0 + F.pow(F.lit(2.0), (F.col("p_size") % 6 + 4).cast("double")) * F.lit(8.0)
+    y1 = y0 + F.pow(F.lit(2.0), (F.col("p_size") % 5 + 3).cast("double")) * F.lit(8.0)
+    f = p.select(
+        F.concat(
+            F.lit("s3://fix/r"), F.col("p_partkey").cast("string"), F.lit(".tif")
+        ).alias("raster_path"),
+        _rect_wkb(x0, y0, x1, y1).alias("geometry"),
+    )
+    rx0, ry0, rx1, ry1 = _ROI_RECT
+    roi = np.array([[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1]])
+    out = refine_overlap(f, spark, roi)
+    return out.select(
+        "raster_path", "intersects", "area", "inter_area", "overlap_pct",
+        "contains_query", "within_query",
+    )
+
+
+def _overlap_refine_sql() -> str:
+    rx0, ry0, rx1, ry1 = _ROI_RECT
+    roi_area = (rx1 - rx0) * (ry1 - ry0)
+    return f"""
+    WITH f AS (
+        SELECT concat('s3://fix/r', CAST(p_partkey AS VARCHAR), '.tif') AS raster_path,
+               CAST(p_partkey * 64 AS DOUBLE) AS x0,
+               CAST(p_partkey * 32 AS DOUBLE) AS y0,
+               CAST(p_partkey * 64 AS DOUBLE)
+                   + power(2.0, CAST(p_size % 6 + 4 AS DOUBLE)) * 8.0 AS x1,
+               CAST(p_partkey * 32 AS DOUBLE)
+                   + power(2.0, CAST(p_size % 5 + 3 AS DOUBLE)) * 8.0 AS y1
+        FROM part WHERE p_partkey % 2 = 0
+    ),
+    o AS (
+        SELECT raster_path, x0, y0, x1, y1,
+               (x1 - x0) * (y1 - y0) AS area,
+               greatest(0.0, least(x1, {rx1!r}) - greatest(x0, {rx0!r}))
+                   * greatest(0.0, least(y1, {ry1!r}) - greatest(y0, {ry0!r})) AS ia
+        FROM f
+    )
+    SELECT raster_path,
+           (x0 <= {rx1!r} AND {rx0!r} <= x1 AND y0 <= {ry1!r} AND {ry0!r} <= y1)
+               AS intersects,
+           area,
+           ia AS inter_area,
+           CASE WHEN area > 0 THEN ia / greatest(area, 1e-300) * 100.0
+                ELSE 0.0 END AS overlap_pct,
+           ia >= {roi_area!r} * (1.0 - 1e-9) AS contains_query,
+           ia >= area * (1.0 - 1e-9) AS within_query
+    FROM o
+    """
+
+
+_register(GEO3, "overlap_refine", _q_overlap_refine, _overlap_refine_sql())
+
+
+# --------------------------------------------------------------------------
+# S3 + P5: GeoJSON ROI parse -> convex PIP filter over pages. The ROI
+# rectangle's corners are exact literals, and the half-plane expressions
+# are identical on both sides (the tile_assign pattern) — exact compare.
+
+
+@pandas_udf(BooleanType())
+def _pip_roi(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    from .sources.geojson import load_roi
+    from .tables.datagen import roi_geojson
+
+    ring = load_roi(roi_geojson("within"))[0]
+    mask = P.points_in_convex(
+        lon.to_numpy(np.float64), lat.to_numpy(np.float64), ring
+    )
+    return pd.Series(mask)
+
+
+def _q_roi_pip_filter(spark, sf_dir):
+    from .operators import encode as E
+    from .pipelines.assign_tiles import web_pages_from_documents
+
+    pts = E.with_geotag(web_pages_from_documents(spark, sf_dir))
+    return pts.filter(_pip_roi(F.col("lon"), F.col("lat"))).select("url", "lat", "lon")
+
+
+def _roi_pip_sql() -> str:
+    from .oracles import pts_cte
+    from .sources.geojson import load_roi
+    from .tables.datagen import roi_geojson
+
+    ring = load_roi(roi_geojson("within"))[0]
+    r = np.vstack([ring, ring[:1]]) if not np.array_equal(ring[0], ring[-1]) else ring
+    conds = [
+        f"({r[i + 1, 0]!r} - {r[i, 0]!r}) * (lat - {r[i, 1]!r})"
+        f" - ({r[i + 1, 1]!r} - {r[i, 1]!r}) * (lon - {r[i, 0]!r}) >= 0.0"
+        for i in range(len(r) - 1)
+    ]
+    return f"""
+    WITH pts AS ({pts_cte()})
+    SELECT url, lat, lon FROM pts WHERE {" AND ".join(conds)}
+    """
+
+
+_register(GEO3, "roi_pip_filter", _q_roi_pip_filter, _roi_pip_sql())
+
+
+# --------------------------------------------------------------------------
+# D1-D6: icelite lineage + resume + atomic publish, driven end-to-end
+# inside the query (writes to a throwaway temp dir) and verified against
+# SQL recomputations of the same aggregates.
+
+
+def _q_lineage_counts(spark, sf_dir):
+    from .operators import encode as E
+    from .pipelines.assign_tiles import web_pages_from_documents
+    from .tables.icelite import IceliteTable
+
+    root = tempfile.mkdtemp(prefix="icelite_lineage_")
+    pts = E.with_cells(
+        E.with_geotag(web_pages_from_documents(spark, sf_dir)),
+        resolutions=(E.PARTITION_RES,),
+    ).select("url", "doc_id", "cell_id", "text")
+    t = IceliteTable(root, "pages")
+    t.write(pts, stage="ingest", fingerprint="q", lineage_key="cell_id")
+    assert t.stage_done("ingest", "q")  # resume check: committed
+    lin = t.lineage(spark)
+    return (
+        lin.groupBy("stage")
+        .agg(
+            F.sum("row_count").alias("n_rows"),
+            F.min("cell_min").alias("cell_lo"),
+            F.max("cell_max").alias("cell_hi"),
+        )
+        .withColumn("n_snapshots", F.lit(len(t.snapshots())).cast("long"))
+    )
+
+
+def _lineage_counts_sql() -> str:
+    from .operators.encode import PARTITION_RES
+    from .oracles import pts_cte
+
+    cell = h3lite.encode_sql("lat", "lon", PARTITION_RES)
+    return f"""
+    WITH pts AS ({pts_cte()})
+    SELECT 'ingest' AS stage, count(*) AS n_rows,
+           min({cell}) AS cell_lo, max({cell}) AS cell_hi,
+           CAST(1 AS BIGINT) AS n_snapshots
+    FROM pts
+    """
+
+
+_register(TEXT3, "lineage_counts", _q_lineage_counts, _lineage_counts_sql())
+
+
+def _q_atomic_publish(spark, sf_dir):
+    from .tables.icelite import IceliteTable
+
+    root = tempfile.mkdtemp(prefix="icelite_atomic_")
+    d = _t(spark, sf_dir, "documents")
+    t = IceliteTable(root, "docs")
+    t.write(d.select("doc_id"), stage="v1", fingerprint="a")
+    t.write(
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
+        stage="v2",
+        fingerprint="b",
+    )
+    cur = t.read(spark)  # resolves the CURRENT snapshot manifest only
+    return cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+    ).withColumn("n_snapshots", F.lit(len(t.snapshots())).cast("long"))
+
+
+_register(
+    TEXT3,
+    "atomic_publish",
+    _q_atomic_publish,
+    """
+    SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           CAST(2 AS BIGINT) AS n_snapshots
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# §2.10: Structured Streaming batch parity with a full oracle — the
+# events stream drained with availableNow into a memory sink must equal
+# the batch aggregate (events_windowed's SQL shape).
+
+
+def _q_stream_windowed(spark, sf_dir):
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a directory; stage a symlink
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        stream.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    name = f"stream_windowed_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_register(
+    TEXT3,
+    "stream_windowed",
+    _q_stream_windowed,
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# §2.11: salted repartition is assignment-invariant — the full salting
+# path (hot-cell sketch + salted explicit shuffle) feeds the histogram,
+# which must equal the unsalted oracle exactly.
+
+
+def _q_salted_histogram(spark, sf_dir):
+    from .operators.skew import detect_hot_cells, salted_repartition
+    from .pipelines.assign_tiles import assignments
+
+    asg = assignments(spark, sf_dir)
+    hot = detect_hot_cells(asg, "cell_id", quantile=0.95)
+    salted = salted_repartition(
+        asg, 16, cell_col="cell_id", salt_key="url", salt_buckets=4,
+        hot_cells=hot or None,
+    )
+    return salted.groupBy("tile_id", "method").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+
+
+def _salted_histogram_sql() -> str:
+    from .oracles import assign_cte
+
+    return f"""
+    {assign_cte()}
+    SELECT tile_id, method, count(*) AS n_pages
+    FROM asg GROUP BY tile_id, method
+    """
+
+
+_register(GEO3, "salted_histogram", _q_salted_histogram, _salted_histogram_sql())

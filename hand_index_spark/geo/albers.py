@@ -59,6 +59,58 @@ def forward(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+def forward_sql(lon: str = "lon", lat: str = "lat") -> str:
+    """DuckDB lateral-alias column chain mirroring :func:`forward`
+    operation-for-operation; exposes ``ax``/``ay`` (x/y meters).
+
+    Cross-engine caveat: numpy's array-mode sin/cos/log differ from
+    libm by 1-2 ulp, so oracle queries must compare these outputs only
+    through a coarse discretization (e.g. floor to whole meters) or a
+    downstream cell encoding — never as raw doubles.
+    """
+    lon0rad = float(np.radians(LON0))
+    return f"""
+        sin({lat} * pi() / 180.0) AS sp,
+        (1.0 - {E2!r}) * (sp / (1.0 - {E2!r} * sp * sp)
+            - (1.0 / (2.0 * {E!r}))
+              * ln((1.0 - {E!r} * sp) / (1.0 + {E!r} * sp))) AS qv,
+        {A!r} * sqrt(greatest({C!r} - {N!r} * qv, 0.0)) / {N!r} AS rho,
+        {N!r} * (({lon} * pi() / 180.0) - {lon0rad!r}) AS theta,
+        rho * sin(theta) AS ax,
+        {RHO0!r} - rho * cos(theta) AS ay
+    """
+
+
+def inverse_sql_query(rel_sql: str, keys: tuple[str, ...], x: str = "ax", y: str = "ay") -> str:
+    """DuckDB SQL mirroring :func:`inverse` (8 fixed-point iterations,
+    one subquery layer each — lateral aliases would expand the phi
+    recurrence exponentially). Input relation needs ``keys`` + x/y
+    meter columns; output has ``keys`` + lon/lat degrees. Same ulp
+    caveat as :func:`forward_sql`; additionally np.hypot is correctly
+    rounded while SQL uses sqrt(x^2+y^2) — consumers must discretize.
+    """
+    ks = ", ".join(keys)
+    lon0rad = float(np.radians(LON0))
+    base = f"""SELECT {ks}, qv, lam,
+            asin(LEAST(GREATEST(qv / 2.0, -1.0), 1.0)) AS phi
+        FROM (SELECT {ks},
+                     ({C!r} - (rho * {N!r} / {A!r}) * (rho * {N!r} / {A!r})) / {N!r} AS qv,
+                     {lon0rad!r} + atan2({x}, {RHO0!r} - {y}) / {N!r} AS lam
+              FROM (SELECT {ks}, {x}, {y},
+                           sqrt({x} * {x} + ({RHO0!r} - {y}) * ({RHO0!r} - {y})) AS rho
+                    FROM ({rel_sql})))"""
+    for _ in range(8):
+        base = f"""SELECT {ks}, qv, lam,
+            phi + (es2 * es2 / (2.0 * cos(phi))) * (
+                qv / (1.0 - {E2!r}) - s / es2
+                + (1.0 / (2.0 * {E!r})) * ln((1.0 - {E!r} * s) / (1.0 + {E!r} * s))
+            ) AS phi
+        FROM (SELECT {ks}, qv, lam, phi, s, 1.0 - {E2!r} * s * s AS es2
+              FROM (SELECT {ks}, qv, lam, phi, sin(phi) AS s FROM ({base})))"""
+    return f"""SELECT {ks}, lam * 180.0 / pi() AS lon, phi * 180.0 / pi() AS lat
+    FROM ({base})"""
+
+
 def inverse(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """EPSG:5070 x/y meters -> EPSG:4326 lon/lat degrees (iterative phi)."""
     x = np.asarray(x, dtype=np.float64)

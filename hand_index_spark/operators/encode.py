@@ -99,4 +99,11 @@ def with_cells_pandas(
         df = df.withColumn(
             f"h3_r{res}", _h3lite_pandas_factory(res)(F.col(lat_col), F.col(lon_col))
         )
-    return df.withColumn("cell_id", F.col(f"h3_r{PARTITION_RES}"))
+    if PARTITION_RES in resolutions:
+        return df.withColumn("cell_id", F.col(f"h3_r{PARTITION_RES}"))
+    # mirror with_cells: derive the partition key directly when the
+    # requested resolutions exclude PARTITION_RES
+    return df.withColumn(
+        "cell_id",
+        _h3lite_pandas_factory(PARTITION_RES)(F.col(lat_col), F.col(lon_col)),
+    )

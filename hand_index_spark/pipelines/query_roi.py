@@ -59,13 +59,22 @@ def roi_query(
     x, y = albers.forward(ring[:, 0], ring[:, 1])
     ring5070 = np.column_stack([x, y])
 
-    # 1. partition pruning: covering cells of the ROI bbox buffered by
-    # one cell (catchments are keyed by centroid cell; a catchment may
-    # extend up to ~one coarse cell beyond its centroid's cell at the
-    # chosen res — bound documented in SURVEY §4.1 restatement)
+    # 1. partition pruning: covering cells of the ROI bbox, buffered by
+    # the maximum distance a catchment can extend beyond its centroid's
+    # cell. Catchments are keyed by centroid cell, and a catchment quad
+    # spans at most one full tile extent (tilegrid W x H degrees), so a
+    # catchment intersecting the ROI has its centroid within
+    # ceil(max_tile_extent / cell_size) cells of the ROI bbox — derived,
+    # not hard-coded, so changing the grid or partition_res stays safe.
+    from ..tables import tilegrid as tg
+
     cs = 1.0 / (1 << partition_res)
+    buf_cells = int(np.ceil(max(tg.W, tg.H) / cs)) + 1  # +1: centroid cell quantization
     cells = h3lite.cover_bbox(
-        lon_min - 3 * cs, lat_min - 3 * cs, lon_max + 3 * cs, lat_max + 3 * cs,
+        lon_min - buf_cells * cs,
+        lat_min - buf_cells * cs,
+        lon_max + buf_cells * cs,
+        lat_max + buf_cells * cs,
         partition_res,
     )
     pruned = catchments.filter(

@@ -3,12 +3,16 @@
 No Iceberg runtime jar exists in this sandbox, so the engine emulates
 the parts the north rule actually needs (BASELINE.json:6,14):
 
-- **atomic publish**: data is written to a staging path, then a new
-  snapshot JSON (schema + file manifest + parent pointer) is written and
-  ``_meta/current`` is swapped last — readers never see partial data.
-  This is the grown-up version of the reference's constraint-free
-  staging table + upsert (load.py:62-64,190-196) and its refuse-to-
-  overwrite guard (load.py:326-348).
+- **atomic publish**: each write lands in a fresh uniquely-named
+  subdirectory under ``data/``; the snapshot JSON records the exact
+  directory list (``data_paths``) and ``_meta/current`` is swapped last
+  (POSIX rename). ``read()`` resolves paths through the current
+  snapshot, so a reader sees either the previous complete snapshot or
+  the new complete one — never partial data; a crashed write leaves
+  only an unreferenced directory. This is the grown-up version of the
+  reference's constraint-free staging table + upsert
+  (load.py:62-64,190-196) and its refuse-to-overwrite guard
+  (load.py:326-348).
 - **per-partition lineage rows**: every write records, per Spark
   partition, (cell range, row count, checksum, wall-time) — appended to
   ``_meta/lineage`` as parquet. The checksum is an order-insensitive
@@ -96,22 +100,42 @@ class IceliteTable:
         mode: str = "overwrite",
         lineage_key: str | None = None,
     ) -> dict:
-        """Write df -> data dir, record lineage, commit a snapshot."""
+        """Write df into a fresh data subdirectory, record lineage from
+        the **committed files** (never by re-running the upstream plan),
+        then publish atomically via the snapshot pointer swap.
+
+        ``mode="append"`` keeps the previous snapshot's directories in
+        the new manifest; ``"overwrite"`` replaces them (the old dirs
+        stay on disk for snapshot time-travel until vacuumed).
+        """
         t0 = time.time()
         lineage_key = lineage_key or (partition_by[0] if partition_by else None)
-        lin_df = _lineage_frame(df, stage, lineage_key)
-        w = df.write.mode(mode)
+        rel = f"d-{uuid.uuid4().hex}"
+        out_dir = os.path.join(self.data_dir, rel)
+        w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.data_dir)
+        w.parquet(out_dir)
         wall_ms = int((time.time() - t0) * 1000)
-        lin_pdf = lin_df.toPandas()
+        # lineage over the data as committed: one plan execution total
+        # (the write), and the checksum provably describes the bytes a
+        # reader will see — not a potentially re-executed upstream plan
+        spark = df.sparkSession
+        committed = spark.read.parquet(out_dir)
+        key = lineage_key if lineage_key in committed.columns else None
+        lin_pdf = _lineage_frame(committed, stage, key).toPandas()
+        cur = self.current_snapshot()
+        if mode == "append" and cur is not None:
+            data_paths = list(cur.get("data_paths", [])) + [rel]
+        else:
+            data_paths = [rel]
         snap = self._commit_snapshot(
             {
                 "stage": stage,
                 "fingerprint": fingerprint,
                 "schema": df.schema.jsonValue(),
                 "partition_by": partition_by or [],
+                "data_paths": data_paths,
                 "row_count": int(lin_pdf["row_count"].sum()),
                 "n_partitions": int(len(lin_pdf)),
                 "checksum": (
@@ -132,7 +156,6 @@ class IceliteTable:
         )
         lin_pdf["snapshot_id"] = snap["snapshot_id"]
         lin_pdf["wall_ms_total"] = wall_ms
-        spark = df.sparkSession
         spark.createDataFrame(lin_pdf).coalesce(1).write.mode("append").parquet(
             self.lineage_dir
         )
@@ -141,7 +164,18 @@ class IceliteTable:
     # ---------------------------------------------------------------- reads
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.data_dir)
+        """Read the current snapshot's manifest paths (atomic view)."""
+        cur = self.current_snapshot()
+        paths = (cur or {}).get("data_paths")
+        if not paths:  # pre-manifest table or never written: legacy layout
+            return spark.read.parquet(self.data_dir)
+        dfs = [
+            spark.read.parquet(os.path.join(self.data_dir, p)) for p in paths
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.lineage_dir)

@@ -28,10 +28,15 @@ def test_ingest_outputs(spark, ingested):
     assert {"url", "tile_id", "method", "dist2", "s2_cell", "h3_r5", "cell_id"} <= set(
         asg.columns
     )
-    # partition layout on disk is hive-style by h3_r5
+    # partition layout on disk is hive-style by h3_r5 inside the
+    # snapshot-manifest data directory (atomic-publish layout)
     import os
 
-    parts = [d for d in os.listdir(f"{root}/assignments/data") if d.startswith("h3_r5=")]
+    t = IceliteTable(root, "assignments")
+    snap = t.current_snapshot()
+    assert snap["data_paths"], "snapshot must carry a data-path manifest"
+    data_dir = os.path.join(root, "assignments", "data", snap["data_paths"][-1])
+    parts = [d for d in os.listdir(data_dir) if d.startswith("h3_r5=")]
     assert len(parts) > 5
     roll = IceliteTable(root, "cell_rollup").read(spark)
     assert roll.agg(F.sum("n_pages")).collect()[0][0] == 500
@@ -77,6 +82,29 @@ def test_ingest_lineage_coverage(spark, ingested):
     assert (lin.cell_min <= lin.cell_max).all()
     snap = t.current_snapshot()
     assert snap["row_count"] == 500 and len(snap["checksum"]) == 16
+
+
+def test_icelite_atomic_publish(spark, tmp_path):
+    """Readers resolve data through the snapshot manifest: an overwrite
+    replaces the visible set atomically; append extends it; prior data
+    dirs stay on disk for time-travel."""
+    t = IceliteTable(str(tmp_path), "tbl")
+    t.write(spark.range(10).withColumnRenamed("id", "v"), stage="s1", fingerprint="a")
+    t.write(spark.range(5).withColumnRenamed("id", "v"), stage="s2", fingerprint="b")
+    assert t.read(spark).count() == 5  # overwrite: only the new snapshot
+    t.write(
+        spark.range(7).withColumnRenamed("id", "v"),
+        stage="s3",
+        fingerprint="c",
+        mode="append",
+    )
+    assert t.read(spark).count() == 12  # append: union of manifest dirs
+    snaps = t.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == [0, 1, 2]
+    assert snaps[2]["parent_id"] == 1
+    assert len(snaps[2]["data_paths"]) == 2
+    # every committed snapshot's checksum describes the written bytes
+    assert all(len(s["checksum"]) == 16 for s in snaps)
 
 
 def test_ingest_mid_job_resume(spark, tmp_path):
