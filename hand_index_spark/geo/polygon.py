@@ -283,6 +283,82 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
+# --------------------------------------------------------------- batch API
+# Vectorized-across-polygons kernels: all rings of an Arrow batch live in
+# ONE flat (N,2) coords array with an offsets vector (len R+1), and every
+# operation loops only over clip edges (tiny, bounded) — never over rings
+# or vertices in Python. This is the 100x-scale path for refine_overlap
+# (round-1 VERDICT item 5: the per-row WKB/clip loop dominated at scale).
+
+
+def _batch_next_idx(offsets: np.ndarray, n: int) -> np.ndarray:
+    """Index of each vertex's ring-successor (wrapping per ring)."""
+    nxt = np.arange(1, n + 1, dtype=np.int64)
+    sizes = np.diff(offsets)
+    nonempty = sizes > 0
+    ends = offsets[1:][nonempty] - 1
+    nxt[ends] = offsets[:-1][nonempty]
+    return nxt
+
+
+def batch_signed_areas(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Signed shoelace area per ring (open rings, no closure vertex)."""
+    R = len(offsets) - 1
+    n = len(coords)
+    if n == 0:
+        return np.zeros(R)
+    nxt = _batch_next_idx(offsets, n)
+    x, y = coords[:, 0], coords[:, 1]
+    cross = x * y[nxt] - x[nxt] * y
+    ring_id = np.repeat(np.arange(R), np.diff(offsets))
+    return np.bincount(ring_id, weights=cross, minlength=R) / 2.0
+
+
+def batch_clip_convex(
+    coords: np.ndarray, offsets: np.ndarray, clip: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland-Hodgman of every ring against one convex CCW ``clip``
+    ring, vectorized across all rings per clip edge. Returns new
+    (coords, offsets); rings may come back empty (offsets repeat)."""
+    clip = _closed(clip)
+    if ring_area(clip) < 0:
+        clip = clip[::-1]
+    cx0, cy0 = clip[:-1, 0], clip[:-1, 1]
+    cx1, cy1 = clip[1:, 0], clip[1:, 1]
+    offsets = np.asarray(offsets, dtype=np.int64)
+    coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    for e in range(len(cx0)):
+        n = len(coords)
+        if n == 0:
+            break
+        ax, ay, bx, by = cx0[e], cy0[e], cx1[e], cy1[e]
+        R = len(offsets) - 1
+        ring_id = np.repeat(np.arange(R), np.diff(offsets))
+        nxt = _batch_next_idx(offsets, n)
+        x, y = coords[:, 0], coords[:, 1]
+        sd = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        inside = sd >= -1e-12
+        inside_n = inside[nxt]
+        dx, dy = x[nxt] - x, y[nxt] - y
+        denom = (bx - ax) * dy - (by - ay) * dx
+        safe = np.abs(denom) > 1e-18
+        t = np.clip(-sd / np.where(safe, denom, 1.0), 0.0, 1.0)
+        emit_cross = (inside != inside_n) & safe
+        out_cnt = inside.astype(np.int64) + emit_cross.astype(np.int64)
+        pos = np.concatenate([[0], np.cumsum(out_cnt)])
+        out = np.empty((pos[-1], 2), dtype=np.float64)
+        out[pos[:-1][inside]] = coords[inside]
+        second = pos[:-1] + inside.astype(np.int64)
+        out[second[emit_cross]] = np.column_stack(
+            [x[emit_cross] + t[emit_cross] * dx[emit_cross],
+             y[emit_cross] + t[emit_cross] * dy[emit_cross]]
+        )
+        per_ring = np.bincount(ring_id, weights=out_cnt, minlength=R).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(per_ring)])
+        coords = out
+    return coords, offsets
+
+
 def bbox_of(ring: np.ndarray) -> tuple[float, float, float, float]:
     r = np.asarray(ring, dtype=np.float64)
     return (

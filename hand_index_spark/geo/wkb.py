@@ -137,6 +137,39 @@ def _parse_geom(r: _Reader):
     raise ValueError(f"unsupported WKB geometry type {t}")
 
 
+def shells_packed(buffers) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exterior shells of MANY WKB buffers packed into flat arrays:
+    (coords (N,2), offsets (R+1,), shell_row (R,) — source row index of
+    each shell). Closing vertices are dropped so rings are open.
+
+    The per-buffer header walk is a cheap Python loop over byte offsets;
+    every downstream coordinate operation (area, clip, bbox) runs
+    vectorized over the single flat array (geo.polygon batch API).
+    """
+    coords_list: list[np.ndarray] = []
+    sizes: list[int] = []
+    rows: list[int] = []
+    for r, buf in enumerate(buffers):
+        if buf is None:
+            continue
+        for shell in shells(bytes(buf)):
+            s = shell
+            if len(s) > 1 and s[0, 0] == s[-1, 0] and s[0, 1] == s[-1, 1]:
+                s = s[:-1]
+            coords_list.append(s)
+            sizes.append(len(s))
+            rows.append(r)
+    if not coords_list:
+        return (
+            np.zeros((0, 2), dtype=np.float64),
+            np.zeros(1, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+        )
+    coords = np.concatenate(coords_list, axis=0)
+    offsets = np.concatenate([[0], np.cumsum(np.asarray(sizes, dtype=np.int64))])
+    return coords, offsets, np.asarray(rows, dtype=np.int64)
+
+
 def shells(buf: bytes) -> list[np.ndarray]:
     """Exterior shells of a (multi)polygon WKB as a flat ring list."""
     t, payload = parse_wkb(buf)

@@ -1,0 +1,160 @@
+"""Approximate nearest neighbor over embedding columns — the scale path.
+
+Random-hyperplane LSH with **banded tables + multi-probe** (VERDICT.md
+round-1 item 4: 4 planes / 16 buckets shrank candidates only 16x):
+
+- ``n_tables`` independent hash tables, each with ``n_planes``
+  sign-of-dot-product bits (total planes = n_tables * n_planes >= 16);
+- a query probes, per table, its own bucket plus every 1-bit flip
+  (multi-probe) — candidates = union over tables/probes of same-bucket
+  rows, a bucket-key equi-join, never a cross join;
+- exact cosine re-rank within the candidate set (LSH-prefilter ->
+  exact verify).
+
+Candidate volume per query ~= n_tables * (1 + n_planes) * N / 2^n_planes:
+at the driver's sf0.01 scale (N=500) the defaults (2x8 planes) keep
+top-k populated; at 10^12 rows the same operator runs with 4x16 planes
+-> ~1000x candidate reduction (measured in tests/test_dedup_ann.py).
+
+Hyperplane components are the deterministic closed form
+``((p*37 + i*101) % 19) - 9`` so the DuckDB oracle evaluates the
+identical arithmetic (entry_queries_ext builds the SQL twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_TABLES = 2
+N_PLANES = 8  # per table; total = 16
+PROBE_FLIPS = 1  # multi-probe depth in bit flips
+
+
+# Pseudo-random hyperplane components via an integer hash QUADRATIC in
+# the component index (exact in int64, identical in Spark and DuckDB).
+# A hash linear in i is an arithmetic progression mod PM — structured
+# inputs then produce massively colliding sign patterns (measured: 200
+# clusters -> ~50 distinct 16-bit buckets). The quadratic term breaks
+# the progression; the (i+1)(p+1) cross term decorrelates planes.
+_PA, _PB, _PC, _PM = 2654435761, 2246822519, 3266489917, 2039
+
+
+def plane_term(p: int):
+    """zip-index lambda: component i of hyperplane p, values in
+    [-(PM-1)/2, (PM-1)/2]."""
+
+    def fn(x, i):
+        h = (
+            (i + 1) * F.lit((p + 1) * _PA)
+            + (i + 1) * (i + 2) * F.lit(_PB)
+            + F.lit((p + 1) * _PC)
+        ) % F.lit(_PM)
+        return x * (h.cast("double") - F.lit(float((_PM - 1) // 2)))
+
+    return fn
+
+
+def plane_component_sql(p: int, i: str) -> str:
+    return (
+        f"(CAST(((({i} + 1) * {(p + 1) * _PA} + ({i} + 1) * ({i} + 2) * {_PB}"
+        f" + {(p + 1) * _PC}) % {_PM}) AS DOUBLE) - {float((_PM - 1) // 2)!r})"
+    )
+
+
+def bucket_col(e: Column, table: int, n_planes: int = N_PLANES) -> Column:
+    """Sign-bit bucket of embedding array ``e`` in hash table ``table``."""
+    bucket = None
+    for j in range(n_planes):
+        p = table * n_planes + j
+        dot = F.aggregate(
+            F.transform(e, plane_term(p)), F.lit(0.0), lambda a, x: a + x
+        )
+        bit = F.when(dot >= 0.0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def with_vectors(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Normalize: e as array<double> + L2 norm."""
+    dbl = F.transform(F.col(col), lambda x: x.cast("double"))
+    return emb.withColumn("e", dbl).withColumn(
+        "norm", F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
+def candidates(
+    base: DataFrame,
+    query_pred: Column,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    probe_flips: int = PROBE_FLIPS,
+) -> DataFrame:
+    """Distinct (qid, vec_id) candidate pairs from banded multi-probe
+    bucket joins. ``base`` must already carry e/norm/b{t} columns."""
+    q = base.filter(query_pred).select(
+        F.col("vec_id").alias("qid"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)],
+    )
+    flips = [0]
+    if probe_flips >= 1:
+        flips += [1 << j for j in range(n_planes)]
+    cand = None
+    for t in range(n_tables):
+        probes = q.select(
+            "qid",
+            F.explode(
+                F.array(*[F.col(f"qb{t}").bitwiseXOR(F.lit(f)) for f in flips])
+            ).alias("pb"),
+        )
+        c = base.select("vec_id", F.col(f"b{t}").alias("pb"))
+        hits = probes.join(c, "pb").filter(F.col("qid") != F.col("vec_id")).select(
+            "qid", "vec_id"
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    return cand.distinct()
+
+
+def with_buckets(emb: DataFrame, n_tables: int = N_TABLES, n_planes: int = N_PLANES) -> DataFrame:
+    base = with_vectors(emb)
+    for t in range(n_tables):
+        base = base.withColumn(f"b{t}", bucket_col(F.col("e"), t, n_planes))
+    return base
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    probe_flips: int = PROBE_FLIPS,
+) -> DataFrame:
+    """(qid, vec_id, sim, rank) — top-k cosine among LSH candidates.
+
+    ``emb`` needs (vec_id, embedding array<float/double>); queries are
+    the rows matching ``query_pred``.
+    """
+    base = with_buckets(emb, n_tables, n_planes)
+    cand = candidates(base, query_pred, n_tables, n_planes, probe_flips)
+    qv = base.filter(query_pred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("norm").alias("qn")
+    )
+    cv = base.select("vec_id", F.col("e").alias("ce"), F.col("norm").alias("cn"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = cand.join(qv, "qid").join(cv, "vec_id").withColumn(
+        "cos", dot / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -55,35 +55,30 @@ def refine_overlap(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         roi = bcast.value
         roi_area = abs(P.ring_area(roi))
+        eps = 1e-9
         for pdf in batches:
             n = len(pdf)
-            inter = np.zeros(n, dtype=bool)
-            area = np.zeros(n, dtype=np.float64)
-            inter_area = np.zeros(n, dtype=np.float64)
-            contains_q = np.zeros(n, dtype=bool)
-            within_q = np.zeros(n, dtype=bool)
-            for i, buf in enumerate(pdf[geometry_col]):
-                if buf is None:
-                    continue
-                shells = wkb.shells(bytes(buf))
-                a = ia = 0.0
-                hit = False
-                for shell in shells:
-                    a += abs(P.ring_area(shell))
-                    if P.rings_intersect(shell, roi):
-                        hit = True
-                        ia += P.intersection_area_convex(shell, roi)
-                inter[i] = hit
-                area[i] = a
-                inter_area[i] = ia
-                # contains: geometry fully covers the ROI; within: ROI
-                # fully covers the geometry (query_geojson.py:199-204) —
-                # derived from areas with a relative epsilon
-                eps = 1e-9
-                if roi_area > 0:
-                    contains_q[i] = ia >= roi_area * (1.0 - eps)
-                if a > 0:
-                    within_q[i] = ia >= a * (1.0 - eps)
+            # pack every shell of the batch into ONE flat coords array;
+            # all area/clip math below is vectorized across the batch
+            # (round-1's per-geometry Python clip loop was the scale
+            # bottleneck — VERDICT item 5)
+            coords, offsets, shell_row = wkb.shells_packed(pdf[geometry_col])
+            shell_areas = np.abs(P.batch_signed_areas(coords, offsets))
+            area = np.bincount(shell_row, weights=shell_areas, minlength=n)
+            clipped, c_off = P.batch_clip_convex(coords, offsets, roi)
+            clip_areas = np.abs(P.batch_signed_areas(clipped, c_off))
+            inter_area = np.bincount(shell_row, weights=clip_areas, minlength=n)
+            # for a CONVEX roi, shell ∩ roi != ∅ (closed sets, touch
+            # included) iff the Sutherland-Hodgman output is non-empty:
+            # boundary-touching vertices survive the >= -eps side tests
+            nonempty = (np.diff(c_off) > 0).astype(np.int64)
+            inter = np.bincount(shell_row, weights=nonempty, minlength=n) > 0
+            contains_q = (
+                (inter_area >= roi_area * (1.0 - eps))
+                if roi_area > 0
+                else np.zeros(n, dtype=bool)
+            )
+            within_q = (area > 0) & (inter_area >= area * (1.0 - eps))
             # overlap% with zero-area guard (query_geojson.py:194-196)
             with np.errstate(divide="ignore", invalid="ignore"):
                 pct = np.where(area > 0, inter_area / np.maximum(area, 1e-300) * 100.0, 0.0)

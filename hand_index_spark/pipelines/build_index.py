@@ -52,8 +52,16 @@ def _albers_inv_lat(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(lat)
 
 
-def build_catchments(tiles_raw: DataFrame, simplify_tol: float = 100.0) -> DataFrame:
-    """Steps 2-6: raw sub-polygons -> catchment dimension rows."""
+def build_catchments(
+    tiles_raw: DataFrame,
+    simplify_tol: float = 100.0,
+    partition_res: int = CATCHMENT_PARTITION_RES,
+) -> DataFrame:
+    """Steps 2-6: raw sub-polygons -> catchment dimension rows.
+
+    ``partition_res`` is the reference's --h3-resolution knob
+    (load.py:314): the resolution of the hive-partition cell column.
+    """
     src = tiles_raw.filter(
         F.col("src_file").contains("/branches/")
         & ~F.col("src_file").contains("_pixels_")
@@ -78,7 +86,7 @@ def build_catchments(tiles_raw: DataFrame, simplify_tol: float = 100.0) -> DataF
         )
     merged = merged.withColumn(
         "h3_index",
-        h3lite.encode_col(F.col("lat"), F.col("lon"), CATCHMENT_PARTITION_RES),
+        h3lite.encode_col(F.col("lat"), F.col("lon"), partition_res),
     )
     return (
         merged.withColumn("catchment_id", F.sha2(F.col("branch_path"), 256))
@@ -110,15 +118,24 @@ def build_catchments(tiles_raw: DataFrame, simplify_tol: float = 100.0) -> DataF
 
 
 _BRANCH_RE = r"(.*/branches/[^/]+/)"
+# --calb layout: branch dir is the immediate parent, no /branches/
+# segment (reference load.py:208-216)
+_CALB_BRANCH_RE = r"(.*/[^/]+/)"
 
 
 def _asset_join(
-    manifest: DataFrame, catchments: DataFrame, pattern: str, out_col: str
+    manifest: DataFrame,
+    catchments: DataFrame,
+    pattern: str,
+    out_col: str,
+    calb: bool = False,
 ) -> DataFrame:
     """J2-J4: glob-shaped filter + regexp branch key + broadcast join
-    + DISTINCT (load.py:206-253)."""
+    + DISTINCT (load.py:206-253); ``calb`` switches the branch regexp
+    (load.py:208-216)."""
     files = manifest.filter(F.col("file").rlike(pattern)).withColumn(
-        "branch_path", F.regexp_extract(F.col("file"), _BRANCH_RE, 1)
+        "branch_path",
+        F.regexp_extract(F.col("file"), _CALB_BRANCH_RE if calb else _BRANCH_RE, 1),
     )
     dim = catchments.select("catchment_id", "branch_path")
     return (
@@ -134,15 +151,17 @@ def build_index(
     file_manifest: DataFrame,
     out_root: str,
     simplify_tol: float = 100.0,
+    partition_res: int = CATCHMENT_PARTITION_RES,
+    calb: bool = False,
 ) -> dict:
     """Full build: returns {table_name: snapshot_meta}. Stages already
     committed for the same fingerprint are skipped (idempotent resume)."""
-    fp = "v1"
+    fp = f"v1-r{partition_res}-{'calb' if calb else 'std'}"
     snaps: dict[str, dict] = {}
 
     cat_table = IceliteTable(out_root, "catchments")
     if not cat_table.stage_done("build_catchments", fp):
-        catchments = build_catchments(tiles_raw, simplify_tol)
+        catchments = build_catchments(tiles_raw, simplify_tol, partition_res)
         # explicit shuffle on the partition cell before the partitioned
         # write (north rule: shuffles keyed on cell ids)
         catchments = catchments.repartition("h3_index")
@@ -163,7 +182,7 @@ def build_index(
     for name, pattern, out_col in specs:
         t = IceliteTable(out_root, name)
         if not t.stage_done(f"build_{name}", fp):
-            df = _asset_join(file_manifest, catchments, pattern, out_col)
+            df = _asset_join(file_manifest, catchments, pattern, out_col, calb=calb)
             snaps[name] = t.write(
                 df, stage=f"build_{name}", fingerprint=fp, lineage_key=None
             )

@@ -1,0 +1,54 @@
+"""CLI entry points (reference load.py:303-380 / query_geojson.py:250-340
+surfaces) + the --calb branch-regexp variant (load.py:208-216)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hand_index_spark.cli import build_index_main, query_roi_main
+from hand_index_spark.pipelines.build_index import _asset_join
+
+
+def test_build_then_query_cli_end_to_end(spark, tmp_path):
+    root = str(tmp_path / "index")
+    snaps = build_index_main.main(["--output-dir", root], spark=spark)
+    assert set(snaps) == {
+        "catchments", "hydrotables", "rem_rasters", "catchment_rasters"
+    }
+    from hand_index_spark.tables.datagen import roi_geojson
+
+    gj = tmp_path / "roi.json"
+    gj.write_text(json.dumps(roi_geojson("within")))
+    out = str(tmp_path / "results")
+    stats = query_roi_main.main(
+        ["-g", str(gj), "-p", root, "-o", out], spark=spark
+    )
+    assert stats["final"] > 0
+    assert os.path.isdir(f"{out}/geometries") and os.path.isdir(f"{out}/attributes")
+    # rerun = idempotent resume: every stage already committed
+    snaps2 = build_index_main.main(["--output-dir", root], spark=spark)
+    assert snaps2 == {}
+
+
+def test_build_cli_refuses_foreign_output_dir(tmp_path):
+    d = tmp_path / "occupied"
+    d.mkdir()
+    (d / "junk.txt").write_text("x")
+    with pytest.raises(SystemExit):
+        build_index_main.main(["--output-dir", str(d)])
+
+
+def test_calb_branch_regexp_variant(spark):
+    """--calb: branch dir = immediate parent, no /branches/ segment."""
+    cat = spark.createDataFrame(
+        [("id1", "s3://fix/huc00/b7/")], "catchment_id string, branch_path string"
+    )
+    manifest = spark.createDataFrame(
+        [("s3://fix/huc00/b7/hydroTable_0.csv",)], "file string"
+    )
+    pat = r".*hydroTable.*\.csv$"
+    assert _asset_join(manifest, cat, pat, "csv_path", calb=True).count() == 1
+    assert _asset_join(manifest, cat, pat, "csv_path", calb=False).count() == 0

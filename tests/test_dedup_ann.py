@@ -1,0 +1,175 @@
+"""Scale-path properties of the dedup + ANN operators (VERDICT round-1
+items 3/4/8): hot-bucket boundedness, LSH-prefilter correctness, and
+measured ANN candidate reduction + recall on a clustered corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hand_index_spark.operators import ann
+from hand_index_spark.operators.dedup import (
+    band_buckets,
+    capped_candidate_pairs,
+    exact_dedup_reps,
+    jaccard_refine,
+    minhash_signatures,
+)
+
+# ---------------------------------------------------------------- dedup
+
+
+def _degenerate_docs(spark, n_identical=2000, n_near=300):
+    """A pathological corpus: a huge identical-text mass + a hot
+    near-identical family + some distinct rows."""
+    rows = []
+    for i in range(n_identical):
+        rows.append((i, "the same exact document body repeated many times"))
+    for i in range(n_near):
+        rows.append((n_identical + i, f"near duplicate family shared tokens v{i % 7}"))
+    for i in range(50):
+        rows.append((n_identical + n_near + i, f"unique text number {i} with words {i * 17}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_identical_mass(spark):
+    docs = _degenerate_docs(spark)
+    reps = exact_dedup_reps(docs)
+    # 2000 identical -> 1 rep; 300 near-dups have 7 distinct texts
+    assert reps.count() == 1 + 7 + 50
+
+
+def test_hot_bucket_cap_bounds_group_width(spark):
+    docs = _degenerate_docs(spark)
+    cap = 10
+    reps = exact_dedup_reps(docs)
+    banded = band_buckets(minhash_signatures(reps))
+    sizes = banded.groupBy("band_idx", "bk").agg(F.count(F.lit(1)).alias("cnt"))
+    salted = banded.join(sizes, ["band_idx", "bk"]).withColumn(
+        "salt",
+        F.col("doc_id")
+        % F.greatest(F.lit(1).cast("long"), F.expr(f"(cnt + {cap - 1}) div {cap}")),
+    )
+    widths = (
+        salted.groupBy("band_idx", "bk", "salt")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .agg(F.max("w"))
+        .collect()[0][0]
+    )
+    # splits bound every self-join group at ~cap (salting by id is not
+    # perfectly even; 2x is the safe bound the join cost analysis needs)
+    assert widths <= 2 * cap
+    # and the degenerate corpus completes end-to-end without a
+    # quadratic bucket join
+    pairs = capped_candidate_pairs(docs, cap=cap)
+    assert pairs.count() < 10_000  # identical mass contributes ZERO pairs
+
+
+def test_jaccard_refine_verifies_candidates_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jac for r in jaccard_refine(docs, pairs, threshold=0.2).collect()}
+    assert (1, 2) in out and abs(out[(1, 2)] - 3 / 5) < 1e-9
+    assert (1, 3) not in out  # below threshold
+    # no pair outside the candidate list is ever scored
+    assert set(out) <= {(1, 2), (1, 3)}
+
+
+# -------------------------------------------------- batch overlap kernels
+
+
+def test_batch_kernels_match_scalar():
+    """The vectorized-across-polygons area/clip kernels must agree with
+    the per-ring scalar kernels on the full 5070 tile grid vs ROI."""
+    from hand_index_spark.geo import albers
+    from hand_index_spark.geo import polygon as P
+    from hand_index_spark.geo import wkb
+    from hand_index_spark.sources.geojson import load_roi
+    from hand_index_spark.tables.datagen import branch_quads_5070, roi_geojson
+
+    ring4326 = load_roi(roi_geojson("within"))[0]
+    x, y = albers.forward(ring4326[:, 0], ring4326[:, 1])
+    roi = np.column_stack([x, y])
+    quads = [q for _, _, q in branch_quads_5070()]
+    bufs = [wkb.polygon_to_wkb([q]) for q in quads]
+    coords, offsets, rows = wkb.shells_packed(bufs)
+    assert len(rows) == len(quads) and (rows == np.arange(len(quads))).all()
+    a_b = np.abs(P.batch_signed_areas(coords, offsets))
+    cc, co = P.batch_clip_convex(coords, offsets, roi)
+    ia_b = np.abs(P.batch_signed_areas(cc, co))
+    nonempty = np.diff(co) > 0
+    n_hits = 0
+    for i, q in enumerate(quads):
+        a_s = abs(P.ring_area(q))
+        ia_s = P.intersection_area_convex(q, roi)
+        assert abs(a_b[i] - a_s) <= 1e-6 * max(1.0, a_s)
+        assert abs(ia_b[i] - ia_s) <= 1e-6 * max(1.0, ia_s)
+        assert bool(nonempty[i]) == P.rings_intersect(q, roi)
+        n_hits += int(nonempty[i])
+    assert 0 < n_hits < len(quads)  # the ROI must split the grid
+
+
+# ------------------------------------------------------------------ ann
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """200 tight clusters x 15 members, dim 64 — deterministic."""
+    n_clusters, per, dim = 200, 15, 64
+    # seeded Philox: deterministic, and genuinely high-dimensional —
+    # arithmetic/cosine sweeps lie on low-dim manifolds where ANY sign
+    # LSH collides, which tests the data, not the operator
+    g = np.random.Generator(np.random.Philox(12345))
+    centers = g.standard_normal((n_clusters, dim)) * 10.0
+    V = np.repeat(centers, per, axis=0) + g.standard_normal(
+        (n_clusters * per, dim)
+    ) * 0.01
+    rows = [(i, V[i].tolist()) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, V
+
+
+def test_ann_candidate_reduction_and_recall(clustered, spark):
+    df, V = clustered
+    n = len(V)
+    n_q = 20
+    n_tables, n_planes = 4, 16  # the 10^12-row scale config
+    base = ann.with_buckets(df, n_tables, n_planes)
+    cand = ann.candidates(base, F.col("vec_id") < n_q, n_tables, n_planes)
+    n_cand = cand.count()
+    exhaustive = n_q * (n - 1)
+    reduction = exhaustive / max(n_cand, 1)
+    print(f"ANN candidates: {n_cand} of {exhaustive} exhaustive -> {reduction:.0f}x reduction")
+    assert reduction >= 100, f"candidate reduction {reduction:.0f}x < 100x"
+
+    got = ann.ann_topk(
+        df, F.col("vec_id") < n_q, k=3, n_tables=n_tables, n_planes=n_planes
+    ).toPandas()
+    # brute-force truth
+    norms = np.linalg.norm(V, axis=1)
+    hits = 0
+    for q in range(n_q):
+        cos = (V @ V[q]) / (norms * norms[q])
+        cos[q] = -np.inf
+        true3 = set(np.argsort(-cos)[:3].tolist())
+        mine = set(got[got.qid == q].vec_id.tolist())
+        hits += len(true3 & mine)
+    recall = hits / (3 * n_q)
+    print(f"ANN recall@3 vs brute force: {recall:.3f}")
+    assert recall >= 0.8
+
+
+def test_ann_driver_config_covers_small_corpus(spark):
+    """The driver-scale config (2x8 planes) must keep top-k populated on
+    the 500-row oracle corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = ann.ann_topk(emb, F.col("vec_id") < 5, k=3).toPandas()
+    assert len(out) >= 10  # ~3 per query across 5 queries
