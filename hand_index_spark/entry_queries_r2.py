@@ -25,7 +25,7 @@ import uuid
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, BooleanType, DoubleType
@@ -500,6 +500,128 @@ _register(
 # §2.11: salted repartition is assignment-invariant — the full salting
 # path (hot-cell sketch + salted explicit shuffle) feeds the histogram,
 # which must equal the unsalted oracle exactly.
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN (the brief's "IVF variant as the scale path"): coarse
+# quantizer cells + n_probe probing + exact re-rank; full oracle.
+
+_IVF_K, _IVF_PROBE, _IVF_CENTS = 3, 2, 16
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    from .operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, F.col("vec_id") < 5, k=_IVF_K,
+        n_centroids=_IVF_CENTS, n_probe=_IVF_PROBE,
+    )
+
+
+_register(
+    TEXT3,
+    "ann_ivf_topk",
+    _q_ann_ivf_topk,
+    f"""
+    WITH e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), e AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+        FROM e0
+    ), c AS (
+        SELECT vec_id AS cid, e AS ce, norm AS cn FROM e WHERE vec_id < {_IVF_CENTS}
+    ), ac AS (
+        SELECT v.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(v.e) + 1),
+                        i -> v.e[i] * c.ce[i])) / (v.norm * c.cn) AS ccos
+        FROM e v, c
+    ), ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        FROM ac
+    ), cells AS (
+        SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS qid, cid AS pcell FROM ranked
+        WHERE vec_id < 5 AND rn <= {_IVF_PROBE}
+    ), cand AS (
+        SELECT DISTINCT p.qid, l.vec_id
+        FROM probes p JOIN cells l ON l.cell = p.pcell AND l.vec_id != p.qid
+    ), sims AS (
+        SELECT cand.qid, cand.vec_id,
+               list_sum(list_transform(range(1, len(q.e) + 1),
+                        i -> q.e[i] * v.e[i])) / (q.norm * v.norm) AS cos
+        FROM cand
+        JOIN e q ON q.vec_id = cand.qid
+        JOIN e v ON v.vec_id = cand.vec_id
+    )
+    SELECT qid, vec_id, round(cos, 6) AS sim, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        FROM sims
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# frame-spec rolling window + ROLLUP grouping (operator-breadth rows the
+# reference never needed; standard analytics surface a switching user
+# expects). The rolling avg rounds to 4dp: Spark computes ROWS-frame
+# averages retractably (incremental add/remove) while DuckDB uses
+# segment trees — different summation orders, equal well inside 4dp.
+
+
+def _q_rolling_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("roll_avg"),
+    )
+
+
+_register(
+    TEXT3,
+    "rolling_avg",
+    _q_rolling_avg,
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+    FROM events
+    """,
+)
+
+
+def _q_rollup_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_register(
+    TEXT3,
+    "rollup_counts",
+    _q_rollup_counts,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
 
 
 def _q_salted_histogram(spark, sf_dir):

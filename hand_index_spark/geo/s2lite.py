@@ -96,26 +96,30 @@ def _st_to_ij(s: np.ndarray) -> np.ndarray:
 
 
 def encode(lat: np.ndarray, lon: np.ndarray, level: int = MAX_LEVEL) -> np.ndarray:
-    """Vectorized lat/lon degrees -> S2 cell id at ``level``."""
+    """Vectorized lat/lon degrees -> S2 cell id at ``level``.
+
+    Folds only the top ``level`` Hilbert bit-pairs: the truncated cell
+    id depends on nothing below them (the orientation evolves top-down
+    and the masked low bits are replaced by the sentinel), so this is
+    bit-identical to folding all 30 levels then masking — and ~2x
+    faster at the engine's level-16 default.
+    """
     x, y, z = _xyz(lat, lon)
     face, u, v = _face_uv(x, y, z)
     i = _st_to_ij(_uv_to_st(u))
     j = _st_to_ij(_uv_to_st(v))
-    # Hilbert: fold 30 bit-pairs, orientation evolves via lookup tables
     orient = face & np.int64(_SWAP)
     pos = np.zeros_like(i)
-    for k in range(MAX_LEVEL - 1, -1, -1):
+    for k in range(MAX_LEVEL - 1, MAX_LEVEL - 1 - level, -1):
         ibit = (i >> np.int64(k)) & np.int64(1)
         jbit = (j >> np.int64(k)) & np.int64(1)
         ij = ibit * np.int64(2) + jbit
         p = _IJ_TO_POS[orient, ij]
         pos = (pos << np.int64(2)) | p
         orient = orient ^ _POS_TO_ORIENT[p]
-    cell = (face << np.int64(2 * MAX_LEVEL + 1)) | (pos << np.int64(1)) | np.int64(1)
-    if level < MAX_LEVEL:
-        lsb = np.int64(1) << np.int64(2 * (MAX_LEVEL - level))
-        cell = (cell & ~(lsb - np.int64(1)) & ~lsb) | lsb
-    return cell
+    shift = np.int64(2 * (MAX_LEVEL - level) + 1)
+    cell = (face << np.int64(2 * MAX_LEVEL + 1)) | (pos << shift)
+    return cell | (np.int64(1) << (shift - np.int64(1)))
 
 
 def encode_sql_query(pts_sql: str, keys: tuple[str, ...] = ("url",), level: int = 16) -> str:

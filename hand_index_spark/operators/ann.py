@@ -83,6 +83,71 @@ def with_vectors(emb: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer -> probe top cells -> exact
+    re-rank (the brief's "IVF variant as the scale path").
+
+    The coarse centroids are the first ``n_centroids`` vectors
+    (deterministic stand-in for k-means — the partitioning mechanics,
+    which is what scales, are identical). Cell assignment is a
+    broadcast of the tiny centroid set against every vector (map-side,
+    no shuffle) + one groupBy-key window; queries probe their
+    ``n_probe`` nearest cells and re-rank exactly within them.
+    """
+    base = with_vectors(emb)
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("norm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    ac = base.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", dot / (F.col("norm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    ranked = ac.withColumn("rn", F.row_number().over(w))
+    cells = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cvid"), F.col("cid").alias("cell")
+    )
+    probes = (
+        ranked.filter(query_pred & (F.col("rn") <= n_probe))
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("pcell"))
+    )
+    cand = (
+        probes.join(cells, F.col("pcell") == F.col("cell"))
+        .filter(F.col("qid") != F.col("cvid"))
+        .select("qid", F.col("cvid").alias("vec_id"))
+        .distinct()
+    )
+    qv = base.filter(query_pred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("norm").alias("qn")
+    )
+    cv = base.select("vec_id", F.col("e").alias("ce2"), F.col("norm").alias("cn2"))
+    qdot = F.aggregate(
+        F.zip_with("qe", "ce2", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = cand.join(qv, "qid").join(cv, "vec_id").withColumn(
+        "cos", qdot / (F.col("qn") * F.col("cn2"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def candidates(
     base: DataFrame,
     query_pred: Column,

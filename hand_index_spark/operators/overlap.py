@@ -61,8 +61,24 @@ def refine_overlap(
             # pack every shell of the batch into ONE flat coords array;
             # all area/clip math below is vectorized across the batch
             # (round-1's per-geometry Python clip loop was the scale
-            # bottleneck — VERDICT item 5)
-            coords, offsets, shell_row = wkb.shells_packed(pdf[geometry_col])
+            # bottleneck — VERDICT item 5). Tables built by this engine
+            # carry packed coordinates from ingest (union_agg
+            # coords_flat) and skip WKB parsing entirely; foreign WKB
+            # falls back to the batch header walk.
+            if "coords_flat" in pdf.columns:
+                flats = [
+                    np.asarray(a, dtype=np.float64) for a in pdf["coords_flat"]
+                ]
+                sizes = np.asarray([len(a) // 2 for a in flats], dtype=np.int64)
+                coords = (
+                    np.concatenate(flats).reshape(-1, 2)
+                    if flats
+                    else np.zeros((0, 2))
+                )
+                offsets = np.concatenate([[0], np.cumsum(sizes)])
+                shell_row = np.arange(n, dtype=np.int64)
+            else:
+                coords, offsets, shell_row = wkb.shells_packed(pdf[geometry_col])
             shell_areas = np.abs(P.batch_signed_areas(coords, offsets))
             area = np.bincount(shell_row, weights=shell_areas, minlength=n)
             clipped, c_off = P.batch_clip_convex(coords, offsets, roi)

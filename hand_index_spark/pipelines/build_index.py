@@ -104,6 +104,7 @@ def build_catchments(
             "catchment_id",
             "hand_version_id",
             "geometry",
+            "coords_flat",
             "bbox",
             "h3_index",
             "h3_r5",

@@ -117,6 +117,37 @@ def test_batch_kernels_match_scalar():
     assert 0 < n_hits < len(quads)  # the ROI must split the grid
 
 
+def test_refine_packed_fast_path_equals_wkb_path(spark):
+    """refine_overlap over ingest-packed coords_flat must equal the
+    WKB-parsing fallback bit-for-bit."""
+    from hand_index_spark.geo import albers
+    from hand_index_spark.geo import wkb
+    from hand_index_spark.operators.overlap import refine_overlap
+    from hand_index_spark.sources.geojson import load_roi
+    from hand_index_spark.tables.datagen import branch_quads_5070, roi_geojson
+
+    ring4326 = load_roi(roi_geojson("within"))[0]
+    x, y = albers.forward(ring4326[:, 0], ring4326[:, 1])
+    roi = np.column_stack([x, y])
+    rows = [
+        (tid, bytearray(wkb.polygon_to_wkb([q])), q.ravel().tolist())
+        for tid, _, q in branch_quads_5070()
+    ]
+    both = spark.createDataFrame(
+        rows, "tile_id long, geometry binary, coords_flat array<double>"
+    )
+    cols = ["tile_id", "intersects", "area", "inter_area", "overlap_pct"]
+    fast = (
+        refine_overlap(both, spark, roi).select(cols).toPandas()
+        .sort_values("tile_id").reset_index(drop=True)
+    )
+    slow = (
+        refine_overlap(both.drop("coords_flat"), spark, roi).select(cols)
+        .toPandas().sort_values("tile_id").reset_index(drop=True)
+    )
+    assert fast.equals(slow)
+
+
 # ------------------------------------------------------------------ ann
 
 
