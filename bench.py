@@ -70,9 +70,25 @@ def build_queries(spark, sf_dir):
     }
 
 
+def _page_touch_ms() -> float:
+    """Host-weather probe: wall time to first-touch 64 MB of fresh pages.
+    This VM demand-pages guest memory with ~0.5-1 ms faults in bad
+    windows (BENCH/NOTES.md) — identical jobs vary 5x with this number,
+    so every bench line records it; read results accordingly."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.zeros(64 * 1024 * 1024 // 8)
+    a[:: 4096 // 8] = 1.0  # touch every 4 KiB page
+    dt = (time.perf_counter() - t0) * 1000.0
+    del a
+    return round(dt, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    weather0 = _page_touch_ms()
 
     from hand_index_spark.session import get_spark
 
@@ -114,6 +130,10 @@ def main() -> None:
         "assign_rows_per_sec": round(SYNTH_ROWS / max(timings["assign_synth"], 1e-9)),
         "cpus": cpus,
     }
+    # page-fault weather bookends: ~10-30 ms = healthy host, hundreds of
+    # ms to seconds = the numbers above are host-bound, not engine-bound
+    out["page_touch_ms_before"] = weather0
+    out["page_touch_ms_after"] = _page_touch_ms()
     print(json.dumps(out))
     spark.stop()
 

@@ -497,6 +497,74 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# S6/S8/S9: hive-partitioned sink + result reload round-trip — write the
+# assignments partitioned by tile_id, read the directory back (partition
+# column restored by discovery), aggregate. Oracle recomputes the same
+# histogram straight from the assignment arithmetic.
+
+
+def _q_partitioned_roundtrip(spark, sf_dir):
+    from .pipelines.assign_tiles import assignments
+
+    out = tempfile.mkdtemp(prefix="sink_rt_") + "/asg"
+    assignments(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "tile_id"
+    ).parquet(out)
+    back = spark.read.parquet(out)  # S9: partition col via discovery
+    return back.groupBy(F.col("tile_id").cast("long").alias("tile_id")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum((F.col("method") == "pip").cast("long")).alias("n_pip"),
+    )
+
+
+def _partitioned_roundtrip_sql() -> str:
+    from .oracles import assign_cte
+
+    return f"""
+    {assign_cte()}
+    SELECT tile_id, count(*) AS n_pages,
+           CAST(sum(CASE WHEN method = 'pip' THEN 1 ELSE 0 END) AS BIGINT) AS n_pip
+    FROM asg GROUP BY tile_id
+    """
+
+
+_register(GEO3, "partitioned_roundtrip", _q_partitioned_roundtrip, _partitioned_roundtrip_sql())
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex token counting (round-brief text-analysis item): letter
+# runs / digit runs / single non-space symbols. Both engines extract
+# with the same pattern; counts compare exactly.
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+
+
+_register(
+    TEXT3,
+    "token_count_bpe",
+    _q_token_count_bpe,
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+               AS n_unique
+    FROM documents
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # §2.11: salted repartition is assignment-invariant — the full salting
 # path (hot-cell sketch + salted explicit shuffle) feeds the histogram,
 # which must equal the unsalted oracle exactly.
