@@ -565,6 +565,205 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# Multimodal resize + frame-sample plumbing (round-brief items), fully
+# oracled: the deterministic fakes are byte arithmetic over the UTF-8
+# html payload, recomputed in SQL.
+
+_HTML_EXPR = "concat('<html><body>', text, '</body></html>')"
+_HTML_LEN = f"length({_HTML_EXPR})"
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    from .operators.multimodal import attach_html_binary, resize_image
+
+    d = attach_html_binary(_t(spark, sf_dir, "documents"))
+    return resize_image(d, factor=2, fake=True).select(
+        "doc_id", "out_w", "out_h",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+def _resize_oracle_sql() -> str:
+    seed = int.from_bytes(b"<html><b", "little")
+    w, h = (16 + seed % 64) // 2, (16 + (seed >> 8) % 64) // 2
+    return f"""
+    SELECT doc_id, {w} AS out_w, {h} AS out_h,
+           round(CAST(list_sum(list_transform(range(1, {_HTML_LEN} + 1, 2),
+                     i -> ascii(substr({_HTML_EXPR}, i, 1)))) AS DOUBLE)
+                 / len(range(1, {_HTML_LEN} + 1, 2)), 4) AS mean_intensity
+    FROM documents
+    """
+
+
+_register(TEXT3, "multimodal_resize", _q_multimodal_resize, _resize_oracle_sql())
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    from .operators.multimodal import attach_html_binary, sample_frames
+
+    d = attach_html_binary(_t(spark, sf_dir, "documents"))
+    return sample_frames(d, n_frames=4, fake=True)
+
+
+_register(
+    TEXT3,
+    "multimodal_frames",
+    _q_multimodal_frames,
+    f"""
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(f * greatest({_HTML_LEN} // 4, 1) AS BIGINT) AS frame_off,
+           CAST(CASE WHEN f * greatest({_HTML_LEN} // 4, 1) < {_HTML_LEN}
+                THEN ascii(substr({_HTML_EXPR},
+                           CAST(f * greatest({_HTML_LEN} // 4, 1) AS INTEGER) + 1, 1))
+                ELSE -1 END AS INTEGER) AS frame_byte
+    FROM documents, (SELECT unnest([0, 1, 2, 3]) AS f)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (round-brief dedup item): banded LSH
+# candidates (every row probes) -> exact cosine -> threshold. Mirrors
+# the asymmetric multi-probe candidate relation exactly in SQL.
+
+
+def _q_cosine_dup_pairs(spark, sf_dir):
+    from .operators.ann import candidates, with_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = with_buckets(emb)
+    cand = candidates(base, F.lit(True)).filter(F.col("qid") < F.col("vec_id"))
+    qv = base.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("norm").alias("qn"))
+    cv = base.select("vec_id", F.col("e").alias("ce"), F.col("norm").alias("cn"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = cand.join(qv, "qid").join(cv, "vec_id").withColumn(
+        "cos", dot / (F.col("qn") * F.col("cn"))
+    )
+    return (
+        sims.filter(F.col("cos") >= 0.3)
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.round("cos", 6).alias("sim"),
+        )
+    )
+
+
+def _cosine_dup_sql() -> str:
+    from .operators.ann import N_PLANES, N_TABLES, plane_component_sql
+
+    bucket_cols = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * {plane_component_sql(t * N_PLANES + j, '(i - 1)')})) >= 0.0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(N_PLANES)
+        )
+        bucket_cols.append(f"CAST({bits} AS BIGINT) AS b{t}")
+    flips = ", ".join(str(f) for f in [0] + [1 << j for j in range(N_PLANES)])
+    cand_parts = []
+    for t in range(N_TABLES):
+        cand_parts.append(
+            f"""SELECT p.qid, c.vec_id
+            FROM (SELECT q.vec_id AS qid, xor(q.b{t}, fl.flip) AS pb
+                  FROM e q, (SELECT unnest([{flips}]) AS flip) fl) p
+            JOIN e c ON c.b{t} = p.pb AND c.vec_id != p.qid"""
+        )
+    cand_sql = " UNION ".join(cand_parts)
+    return f"""
+    WITH e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), e AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS norm,
+               {", ".join(bucket_cols)}
+        FROM e0
+    ), cand AS ({cand_sql})
+    SELECT cand.qid AS id_a, cand.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(q.e) + 1),
+                 i -> q.e[i] * c.e[i])) / (q.norm * c.norm), 6) AS sim
+    FROM cand
+    JOIN e q ON q.vec_id = cand.qid
+    JOIN e c ON c.vec_id = cand.vec_id
+    WHERE cand.qid < cand.vec_id
+      AND list_sum(list_transform(range(1, len(q.e) + 1),
+              i -> q.e[i] * c.e[i])) / (q.norm * c.norm) >= 0.3
+    """
+
+
+_register(TEXT3, "cosine_dup_pairs", _q_cosine_dup_pairs, _cosine_dup_sql())
+
+
+# --------------------------------------------------------------------------
+# Custom STATEFUL streaming operator (applyInPandasWithState): per-user
+# sessionization whose state crosses real micro-batch boundaries — the
+# events are split at their time midpoint into two files and drained
+# with maxFilesPerTrigger=1, so the second batch resumes from stored
+# state. Final counters must equal the batch lag-window oracle.
+
+
+def _q_stream_sessionize(spark, sf_dir):
+    import os
+
+    from .streaming.sessionize import sessionize_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    src = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{src}/p1")
+    ev.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(f"{src}/p2")
+    os.utime(f"{src}/p2")  # ensure p2 lists as the later file
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    sess = sessionize_stream(stream, gap_s=1800.0)
+    name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink keeps one row per (user, micro-batch);
+    # counters are monotone, so the max is the final state
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
+_register(
+    TEXT3,
+    "stream_sessionize",
+    _q_stream_sessionize,
+    """
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(CAST(epoch(ts) AS DOUBLE)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR CAST(epoch(ts) AS DOUBLE)
+                            - lag(CAST(epoch(ts) AS DOUBLE)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # §2.11: salted repartition is assignment-invariant — the full salting
 # path (hot-cell sketch + salted explicit shuffle) feeds the histogram,
 # which must equal the unsalted oracle exactly.

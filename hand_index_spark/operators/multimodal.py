@@ -124,3 +124,92 @@ def decode_image(
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("mean_intensity", DoubleType(), False),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "doc_id",
+    factor: int = 2,
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize feature-extraction over Arrow batches.
+
+    STUB like decode_image: with ``fake=True`` the "resized pixels" are
+    every ``factor``-th payload byte — deterministic, schema/batching
+    real, and expressible in the DuckDB oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires an image codec not present in "
+                    "this environment; pass fake=True for the plumbing path"
+                )
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob or b"")
+                seed = int.from_bytes(b[:8].ljust(8, b"\0"), "little")
+                w = (16 + seed % 64) // factor
+                h = (16 + (seed >> 8) % 64) // factor
+                sub = np.frombuffer(b, dtype=np.uint8)[::factor]
+                mean = float(sub.mean()) if len(sub) else 0.0
+                rows.append((int(did), int(w), int(h), mean))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "mean_intensity"])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_off", LongType(), False),
+        StructField("frame_byte", IntegerType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame sampling over Arrow batches (one output row per
+    sampled frame). STUB: with ``fake=True`` the "frames" are evenly
+    spaced byte offsets and the frame feature is the byte value there —
+    the fan-out shape (1 row in, n rows out) is the real plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires a video codec not present in "
+                    "this environment; pass fake=True for the plumbing path"
+                )
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob or b"")
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    off = i * step
+                    rows.append(
+                        (int(did), i, off, int(b[off]) if off < len(b) else -1)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_off", "frame_byte"]
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -180,6 +180,49 @@ class IceliteTable:
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.lineage_dir)
 
+    def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Time travel: read the table exactly as of ``snapshot_id``
+        (manifest dirs are immutable once written; an overwrite only
+        redirects the manifest, it never deletes data)."""
+        with open(os.path.join(self.meta_dir, f"snap-{snapshot_id:06d}.json")) as f:
+            snap = json.load(f)
+        paths = snap.get("data_paths") or []
+        if not paths:
+            raise ValueError(f"snapshot {snapshot_id} has no data manifest")
+        dfs = [spark.read.parquet(os.path.join(self.data_dir, p)) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    # --------------------------------------------------------------- vacuum
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Expire all but the newest ``keep_last`` snapshots and delete
+        data directories no surviving snapshot references (Iceberg's
+        expire_snapshots + remove_orphan_files). The current snapshot is
+        always kept; lineage history is never touched."""
+        import shutil
+
+        snaps = self.snapshots()
+        keep = snaps[-max(keep_last, 1):]
+        keep_ids = {s["snapshot_id"] for s in keep}
+        referenced = {p for s in keep for p in s.get("data_paths", [])}
+        removed_dirs = []
+        if os.path.isdir(self.data_dir):
+            for d in sorted(os.listdir(self.data_dir)):
+                if d.startswith("d-") and d not in referenced:
+                    shutil.rmtree(os.path.join(self.data_dir, d))
+                    removed_dirs.append(d)
+        removed_snaps = []
+        for s in snaps:
+            if s["snapshot_id"] not in keep_ids:
+                os.remove(
+                    os.path.join(self.meta_dir, f"snap-{s['snapshot_id']:06d}.json")
+                )
+                removed_snaps.append(s["snapshot_id"])
+        return {"removed_dirs": removed_dirs, "expired_snapshots": removed_snaps}
+
     # --------------------------------------------------------------- resume
 
     def stage_done(self, stage: str, fingerprint: str = "") -> bool:

@@ -107,6 +107,27 @@ def test_icelite_atomic_publish(spark, tmp_path):
     assert all(len(s["checksum"]) == 16 for s in snaps)
 
 
+def test_icelite_time_travel_and_vacuum(spark, tmp_path):
+    t = IceliteTable(str(tmp_path), "tbl")
+    t.write(spark.range(10).withColumnRenamed("id", "v"), stage="s1", fingerprint="a")
+    t.write(spark.range(5).withColumnRenamed("id", "v"), stage="s2", fingerprint="b")
+    t.write(spark.range(3).withColumnRenamed("id", "v"), stage="s3", fingerprint="c")
+    # time travel reads any historical snapshot
+    assert t.read_snapshot(spark, 0).count() == 10
+    assert t.read_snapshot(spark, 1).count() == 5
+    assert t.read(spark).count() == 3
+    res = t.vacuum(keep_last=2)
+    assert res["expired_snapshots"] == [0]
+    assert len(res["removed_dirs"]) == 1  # snapshot 0's orphaned data dir
+    # survivors still readable after vacuum
+    assert t.read_snapshot(spark, 1).count() == 5
+    assert t.read(spark).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read_snapshot(spark, 0)
+
+
 def test_ingest_mid_job_resume(spark, tmp_path):
     """Crash after stage 1 -> rerun completes only stage 2."""
     root = str(tmp_path / "resume")

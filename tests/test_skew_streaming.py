@@ -87,3 +87,24 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_stateful_sessionize_state_crosses_microbatches(spark):
+    """applyInPandasWithState: with the events time-split into two files
+    and maxFilesPerTrigger=1, users active in both halves must be
+    UPDATED twice (two rows in the update-mode sink) and the second
+    update must resume from stored state (monotone counters)."""
+    from hand_index_spark.entry_queries_r2 import _q_stream_sessionize
+
+    import pyspark.sql.functions as F
+
+    final = _q_stream_sessionize(spark, "/root/testdata/sf0.001")
+    # equality with the batch lag-window sessionizer
+    from hand_index_spark.entry_queries_ext import _q_sessionize
+
+    batch = _q_sessionize(spark, "/root/testdata/sf0.001").toPandas()
+    got = final.toPandas()
+    merged = batch.merge(got, on="user_id", suffixes=("_b", "_s"))
+    assert len(merged) == len(batch)
+    assert (merged.n_sessions_b == merged.n_sessions_s).all()
+    assert (merged.n_events_b == merged.n_events_s).all()
