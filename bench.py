@@ -50,6 +50,14 @@ def build_queries(spark, sf_dir):
         """Encode-only hot path (pure Catalyst, whole-stage codegen)."""
         return E.with_cells(synth_points(SYNTH_ROWS))
 
+    # NOTE: the zero-Python Catalyst twin (operators/assign_catalyst)
+    # was benchmarked here and measured ~20x SLOWER than the Arrow-UDF
+    # kernel (26.3s vs 1.3s at 4M rows): its ~5k-node expression tree
+    # exceeds JVM codegen budgets and drops to interpreted per-row
+    # evaluation, while the NumPy kernel shares subexpressions across
+    # the batch explicitly. Kept as a correctness cross-check
+    # (tests/test_assign_catalyst.py), excluded from the headline.
+
     def q_assign_documents(_spark, _sf):
         return assignments_full(spark, sf_dir)
 
