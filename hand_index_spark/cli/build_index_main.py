@@ -46,6 +46,8 @@ def main(argv=None, spark=None) -> dict:
     # refuse-to-overwrite guard (reference load.py:326-348): an existing
     # NON-icelite dir is suspicious; an icelite root resumes idempotently
     if os.path.exists(args.output_dir) and not args.force:
+        if not os.path.isdir(args.output_dir):
+            sys.exit(f"output path {args.output_dir!r} exists and is not a directory")
         entries = os.listdir(args.output_dir)
         if entries and not any(
             os.path.isdir(os.path.join(args.output_dir, e, "_meta")) for e in entries
@@ -81,6 +83,9 @@ def main(argv=None, spark=None) -> dict:
         simplify_tol=args.simplify_tol,
         partition_res=args.h3_resolution,
         calb=args.calb,
+        input_fingerprint=(
+            f"{args.tiles_parquet or 'synthetic'}|{args.manifest_parquet or 'synthetic'}"
+        ),
     )
     summary = {
         name: {"snapshot_id": s["snapshot_id"], "row_count": s["row_count"]}

@@ -601,7 +601,12 @@ def _q_multimodal_decode(spark, sf_dir):
     """Deterministic-fake image decode through the real batch plumbing.
     Fully oracled: the fake's w/h derive from the (constant) first 8
     payload bytes and mean_intensity is the exact integer byte-sum over
-    the UTF-8 html divided by its length — SQL recomputes both."""
+    the UTF-8 html divided by its length — SQL recomputes both.
+
+    Oracle precondition: the corpus text is ASCII (the engine sums raw
+    UTF-8 BYTES; the SQL iterates CODEPOINTS — equal only when they
+    coincide). tests/test_driver_contract.py asserts the precondition
+    so a corpus change fails loudly, not as a silent hash mismatch."""
     from .operators.multimodal import attach_html_binary, decode_image
 
     d = _t(spark, sf_dir, "documents")
@@ -646,29 +651,8 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _ann_oracle_sql() -> str:
-    from .operators.ann import N_PLANES, N_TABLES, plane_component_sql
+    from .operators.ann import bucket_cols_sql, candidates_sql
 
-    bucket_cols = []
-    for t in range(N_TABLES):
-        bits = " + ".join(
-            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
-            f"i -> e[i] * {plane_component_sql(t * N_PLANES + j, '(i - 1)')})) >= 0.0 "
-            f"THEN {1 << j} ELSE 0 END)"
-            for j in range(N_PLANES)
-        )
-        bucket_cols.append(f"CAST({bits} AS BIGINT) AS b{t}")
-    flips = [0] + [1 << j for j in range(N_PLANES)]
-    flip_list = ", ".join(str(f) for f in flips)
-    cand_parts = []
-    for t in range(N_TABLES):
-        cand_parts.append(
-            f"""SELECT p.qid, c.vec_id
-            FROM (SELECT q.vec_id AS qid, xor(q.b{t}, f.flip) AS pb
-                  FROM e q, (SELECT unnest([{flip_list}]) AS flip) f
-                  WHERE q.vec_id < 5) p
-            JOIN e c ON c.b{t} = p.pb AND c.vec_id != p.qid"""
-        )
-    cand_sql = " UNION ".join(cand_parts)  # UNION dedups (Spark .distinct())
     return f"""
     WITH e0 AS (
         SELECT vec_id,
@@ -677,9 +661,9 @@ def _ann_oracle_sql() -> str:
     ), e AS (
         SELECT vec_id, e,
                sqrt(list_sum(list_transform(e, x -> x * x))) AS norm,
-               {", ".join(bucket_cols)}
+               {", ".join(bucket_cols_sql())}
         FROM e0
-    ), cand AS ({cand_sql}),
+    ), cand AS ({candidates_sql("WHERE q.vec_id < 5")}),
     sims AS (
         SELECT cand.qid, cand.vec_id,
                list_sum(list_transform(range(1, len(q.e) + 1),

@@ -20,6 +20,7 @@ Cross-engine float rules used here (see also tables/tilegrid.py):
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -45,6 +46,21 @@ def _register(reg: dict, name: str, fn, oracle: str | None) -> None:
     reg[name] = fn
     if oracle is not None:
         ORACLES3[name] = oracle
+
+
+def _fresh_dir(prefix: str) -> str:
+    """A fresh scratch dir for side-effecting driver queries, garbage-
+    collecting earlier same-prefix dirs first (each invocation must see
+    a clean icelite root for deterministic snapshot counts, but repeated
+    driver/verify loops must not accumulate unbounded /tmp copies)."""
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), "hand_index_spark_q")
+    os.makedirs(base, exist_ok=True)
+    for d in os.listdir(base):
+        if d.startswith(prefix):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -380,7 +396,7 @@ def _q_lineage_counts(spark, sf_dir):
     from .pipelines.assign_tiles import web_pages_from_documents
     from .tables.icelite import IceliteTable
 
-    root = tempfile.mkdtemp(prefix="icelite_lineage_")
+    root = _fresh_dir("icelite_lineage_")
     pts = E.with_cells(
         E.with_geotag(web_pages_from_documents(spark, sf_dir)),
         resolutions=(E.PARTITION_RES,),
@@ -420,7 +436,7 @@ _register(TEXT3, "lineage_counts", _q_lineage_counts, _lineage_counts_sql())
 def _q_atomic_publish(spark, sf_dir):
     from .tables.icelite import IceliteTable
 
-    root = tempfile.mkdtemp(prefix="icelite_atomic_")
+    root = _fresh_dir("icelite_atomic_")
     d = _t(spark, sf_dir, "documents")
     t = IceliteTable(root, "docs")
     t.write(d.select("doc_id"), stage="v1", fingerprint="a")
@@ -455,12 +471,10 @@ _register(
 
 
 def _q_stream_windowed(spark, sf_dir):
-    import os
-
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # the file-stream source requires a directory; stage a symlink
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    src_dir = _fresh_dir("stream_src_")
     os.symlink(path, os.path.join(src_dir, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(src_dir)
     agg = (
@@ -506,7 +520,7 @@ _register(
 def _q_partitioned_roundtrip(spark, sf_dir):
     from .pipelines.assign_tiles import assignments
 
-    out = tempfile.mkdtemp(prefix="sink_rt_") + "/asg"
+    out = _fresh_dir("sink_rt_") + "/asg"
     assignments(spark, sf_dir).write.mode("overwrite").partitionBy(
         "tile_id"
     ).parquet(out)
@@ -529,6 +543,51 @@ def _partitioned_roundtrip_sql() -> str:
 
 
 _register(GEO3, "partitioned_roundtrip", _q_partitioned_roundtrip, _partitioned_roundtrip_sql())
+
+
+# --------------------------------------------------------------------------
+# P4: the reference's path-pattern row filter (keep '/branches/', drop
+# '_pixels_', load.py:80) over an oracle-reproducible synthetic manifest.
+
+
+def _q_path_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    seg = F.when(F.col("l_linenumber") % 3 == 0, F.lit("/branches/")).otherwise(
+        F.lit("/other/")
+    )
+    stem = F.when(F.col("l_partkey") % 5 == 0, F.lit("gw_pixels_cat")).otherwise(
+        F.lit("gw_catchments")
+    )
+    files = li.select(
+        F.concat(
+            F.lit("s3://fix/huc"), F.col("l_orderkey").cast("string"), seg,
+            F.lit("b"), F.col("l_suppkey").cast("string"), F.lit("/"),
+            stem, F.lit(".gpkg"),
+        ).alias("file")
+    )
+    return files.filter(
+        F.col("file").contains("/branches/") & ~F.col("file").contains("_pixels_")
+    )
+
+
+_register(
+    TEXT3,
+    "path_filter",
+    _q_path_filter,
+    """
+    WITH files AS (
+        SELECT concat('s3://fix/huc', CAST(l_orderkey AS VARCHAR),
+                      CASE WHEN l_linenumber % 3 = 0 THEN '/branches/' ELSE '/other/' END,
+                      'b', CAST(l_suppkey AS VARCHAR), '/',
+                      CASE WHEN l_partkey % 5 = 0 THEN 'gw_pixels_cat'
+                           ELSE 'gw_catchments' END,
+                      '.gpkg') AS file
+        FROM lineitem
+    )
+    SELECT file FROM files
+    WHERE contains(file, '/branches/') AND NOT contains(file, '_pixels_')
+    """,
+)
 
 
 # --------------------------------------------------------------------------
@@ -652,27 +711,8 @@ def _q_cosine_dup_pairs(spark, sf_dir):
 
 
 def _cosine_dup_sql() -> str:
-    from .operators.ann import N_PLANES, N_TABLES, plane_component_sql
+    from .operators.ann import bucket_cols_sql, candidates_sql
 
-    bucket_cols = []
-    for t in range(N_TABLES):
-        bits = " + ".join(
-            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
-            f"i -> e[i] * {plane_component_sql(t * N_PLANES + j, '(i - 1)')})) >= 0.0 "
-            f"THEN {1 << j} ELSE 0 END)"
-            for j in range(N_PLANES)
-        )
-        bucket_cols.append(f"CAST({bits} AS BIGINT) AS b{t}")
-    flips = ", ".join(str(f) for f in [0] + [1 << j for j in range(N_PLANES)])
-    cand_parts = []
-    for t in range(N_TABLES):
-        cand_parts.append(
-            f"""SELECT p.qid, c.vec_id
-            FROM (SELECT q.vec_id AS qid, xor(q.b{t}, fl.flip) AS pb
-                  FROM e q, (SELECT unnest([{flips}]) AS flip) fl) p
-            JOIN e c ON c.b{t} = p.pb AND c.vec_id != p.qid"""
-        )
-    cand_sql = " UNION ".join(cand_parts)
     return f"""
     WITH e0 AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -680,9 +720,9 @@ def _cosine_dup_sql() -> str:
     ), e AS (
         SELECT vec_id, e,
                sqrt(list_sum(list_transform(e, x -> x * x))) AS norm,
-               {", ".join(bucket_cols)}
+               {", ".join(bucket_cols_sql())}
         FROM e0
-    ), cand AS ({cand_sql})
+    ), cand AS ({candidates_sql("")})
     SELECT cand.qid AS id_a, cand.vec_id AS id_b,
            round(list_sum(list_transform(range(1, len(q.e) + 1),
                  i -> q.e[i] * c.e[i])) / (q.norm * c.norm), 6) AS sim
@@ -707,14 +747,12 @@ _register(TEXT3, "cosine_dup_pairs", _q_cosine_dup_pairs, _cosine_dup_sql())
 
 
 def _q_stream_sessionize(spark, sf_dir):
-    import os
-
     from .streaming.sessionize import sessionize_stream
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     cut = lo + (hi - lo) / 2
-    src = tempfile.mkdtemp(prefix="stream_sess_")
+    src = _fresh_dir("stream_sess_")
     ev.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{src}/p1")
     ev.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(f"{src}/p2")
     os.utime(f"{src}/p2")  # ensure p2 lists as the later file

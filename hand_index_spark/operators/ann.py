@@ -62,6 +62,58 @@ def plane_component_sql(p: int, i: str) -> str:
     )
 
 
+def probe_flip_masks(n_planes: int, probe_flips: int) -> list[int]:
+    """Multi-probe bucket-XOR masks: the exact bucket, every 1-bit flip,
+    and (depth >= 2) every 2-bit flip."""
+    flips = [0]
+    if probe_flips >= 1:
+        flips += [1 << j for j in range(n_planes)]
+    if probe_flips >= 2:
+        flips += [
+            (1 << a) | (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    return flips
+
+
+def bucket_cols_sql(n_tables: int = N_TABLES, n_planes: int = N_PLANES) -> list[str]:
+    """DuckDB column exprs ``b0..b{T-1}`` over an ``e`` array column —
+    the single source of truth for every ANN oracle (ann_lsh_topk and
+    cosine_dup_pairs must never drift from the engine or each other)."""
+    cols = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * {plane_component_sql(t * n_planes + j, '(i - 1)')})) >= 0.0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        cols.append(f"CAST({bits} AS BIGINT) AS b{t}")
+    return cols
+
+
+def candidates_sql(
+    query_where: str,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    probe_flips: int = PROBE_FLIPS,
+) -> str:
+    """DuckDB UNION of per-table multi-probe candidate selects over a
+    CTE ``e(vec_id, e, norm, b0..)``; mirrors :func:`candidates`."""
+    flips = ", ".join(str(f) for f in probe_flip_masks(n_planes, probe_flips))
+    parts = []
+    for t in range(n_tables):
+        parts.append(
+            f"""SELECT p.qid, c.vec_id
+            FROM (SELECT q.vec_id AS qid, xor(q.b{t}, fl.flip) AS pb
+                  FROM e q, (SELECT unnest([{flips}]) AS flip) fl
+                  {query_where}) p
+            JOIN e c ON c.b{t} = p.pb AND c.vec_id != p.qid"""
+        )
+    return " UNION ".join(parts)  # UNION dedups (the Spark .distinct())
+
+
 def bucket_col(e: Column, table: int, n_planes: int = N_PLANES) -> Column:
     """Sign-bit bucket of embedding array ``e`` in hash table ``table``."""
     bucket = None
@@ -161,9 +213,7 @@ def candidates(
         F.col("vec_id").alias("qid"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)],
     )
-    flips = [0]
-    if probe_flips >= 1:
-        flips += [1 << j for j in range(n_planes)]
+    flips = probe_flip_masks(n_planes, probe_flips)
     cand = None
     for t in range(n_tables):
         probes = q.select(

@@ -63,9 +63,11 @@ def refine_overlap(
             # (round-1's per-geometry Python clip loop was the scale
             # bottleneck — VERDICT item 5). Tables built by this engine
             # carry packed coordinates from ingest (union_agg
-            # coords_flat) and skip WKB parsing entirely; foreign WKB
-            # falls back to the batch header walk.
-            if "coords_flat" in pdf.columns:
+            # coords_flat) and skip WKB parsing entirely; foreign WKB —
+            # or a batch with any null coords_flat (e.g. a manifest dir
+            # written before the column existed, read back with
+            # allowMissingColumns) — falls back to the header walk.
+            if "coords_flat" in pdf.columns and not pdf["coords_flat"].isna().any():
                 flats = [
                     np.asarray(a, dtype=np.float64) for a in pdf["coords_flat"]
                 ]

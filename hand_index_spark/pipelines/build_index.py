@@ -154,10 +154,19 @@ def build_index(
     simplify_tol: float = 100.0,
     partition_res: int = CATCHMENT_PARTITION_RES,
     calb: bool = False,
+    input_fingerprint: str = "synthetic",
 ) -> dict:
     """Full build: returns {table_name: snapshot_meta}. Stages already
-    committed for the same fingerprint are skipped (idempotent resume)."""
-    fp = f"v1-r{partition_res}-{'calb' if calb else 'std'}"
+    committed for the same fingerprint are skipped (idempotent resume).
+
+    The fingerprint covers EVERY build parameter (partition res, calb,
+    simplify tolerance) plus the caller-supplied input identity, so
+    rebuilding with any different knob or input actually rebuilds
+    instead of silently no-opping against a stale index."""
+    fp = (
+        f"v1-r{partition_res}-{'calb' if calb else 'std'}"
+        f"-tol{simplify_tol!r}-in:{input_fingerprint}"
+    )
     snaps: dict[str, dict] = {}
 
     cat_table = IceliteTable(out_root, "catchments")

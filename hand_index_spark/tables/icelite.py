@@ -126,7 +126,16 @@ class IceliteTable:
         lin_pdf = _lineage_frame(committed, stage, key).toPandas()
         cur = self.current_snapshot()
         if mode == "append" and cur is not None:
-            data_paths = list(cur.get("data_paths", [])) + [rel]
+            prev = cur.get("data_paths")
+            if not prev:
+                # a legacy (pre-manifest) snapshot has no directory list;
+                # silently continuing would publish a manifest that HIDES
+                # all pre-existing rows — refuse instead of losing data
+                raise ValueError(
+                    "append onto a pre-manifest table would orphan its "
+                    "existing data; rewrite it once with mode='overwrite'"
+                )
+            data_paths = list(prev) + [rel]
         else:
             data_paths = [rel]
         snap = self._commit_snapshot(

@@ -39,3 +39,13 @@ def test_query_vs_oracle(spark, con, name):
 
 def test_all_oracle_keys_have_queries():
     assert set(_ORACLES) <= set(_QUERIES)
+
+
+def test_documents_text_is_ascii(con):
+    """Precondition of the multimodal byte-arithmetic oracles: the
+    engine sums raw UTF-8 bytes while the SQL iterates codepoints;
+    those coincide only for ASCII. Fail HERE if the corpus changes."""
+    n = con.sql(
+        "SELECT count(*) FROM documents WHERE octet_length(encode(text)) != length(text)"
+    ).fetchone()[0]
+    assert n == 0, "documents.text contains non-ASCII; byte-sum oracles invalid"
