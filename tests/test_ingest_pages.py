@@ -128,6 +128,66 @@ def test_icelite_time_travel_and_vacuum(spark, tmp_path):
         t.read_snapshot(spark, 0)
 
 
+def test_icelite_crash_debris_is_invisible(spark, tmp_path):
+    """A write that dies before the pointer swap leaves only an
+    unreferenced data dir: readers never see it, vacuum removes it,
+    and later writes are unaffected."""
+    import os
+
+    t = IceliteTable(str(tmp_path), "tbl")
+    t.write(spark.range(10).withColumnRenamed("id", "v"), stage="s1", fingerprint="a")
+    # simulate a crashed writer: a half-written data dir, no snapshot
+    debris = os.path.join(t.data_dir, "d-deadbeefcrashed")
+    os.makedirs(debris)
+    spark.range(99).write.mode("overwrite").parquet(os.path.join(debris, "part"))
+    assert t.read(spark).count() == 10  # manifest isolation
+    t.write(spark.range(4).withColumnRenamed("id", "v"), stage="s2", fingerprint="b")
+    assert t.read(spark).count() == 4
+    res = t.vacuum(keep_last=1)
+    assert "d-deadbeefcrashed" in res["removed_dirs"]
+    assert t.read(spark).count() == 4
+
+
+def test_salting_bounds_partition_skew(spark):
+    """Deterministic skew proof (no wall-clock): one hot cell holding
+    half the rows must spread across salt_buckets shuffle partitions."""
+    import pyspark.sql.functions as F
+
+    from hand_index_spark.operators.skew import salted_repartition
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 64).alias(
+            "cell_id"
+        ),
+        F.col("id").cast("string").alias("url"),
+    )
+    parts = 16
+
+    def max_part(d):
+        sizes = (
+            d.withColumn("p", F.spark_partition_id())
+            .groupBy("p").count().agg(F.max("count")).collect()[0][0]
+        )
+        return sizes
+
+    unsalted = df.repartition(parts, F.col("cell_id"))
+    salted = salted_repartition(
+        df, parts, cell_col="cell_id", salt_key="url", salt_buckets=8, hot_cells=[7]
+    )
+    m_un, m_sa = max_part(unsalted), max_part(salted)
+    # hot cell = 10k rows lands in ONE unsalted partition; salting
+    # spreads it over 8 buckets (the max salted partition also absorbs
+    # hash-colliding cold cells, so assert a conservative 3x reduction)
+    assert m_un >= n // 2
+    assert m_sa <= m_un // 3
+    # and the DATA is unchanged
+    assert salted.agg(F.sum("doc_id")).collect()[0][0] == df.agg(
+        F.sum("doc_id")
+    ).collect()[0][0]
+
+
 def test_ingest_mid_job_resume(spark, tmp_path):
     """Crash after stage 1 -> rerun completes only stage 2."""
     root = str(tmp_path / "resume")
