@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""One-command replica of the driver's verification: entry() smoke at
+sf0.001 plus EVERY queries() entry compared against its oracle_sql()
+through DuckDB at sf0.01 (row count + column names + exact values).
+
+Exit 0 = all green. Usage:
+    python scripts/verify_contract.py [--sf-dir DIR] [--keys k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--keys", default=None, help="comma-separated subset")
+    args = ap.parse_args()
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from hand_index_spark.session import get_spark
+
+    spark = get_spark("verify_contract", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = E.entry(spark)
+    n = len(df.collect())
+    print(f"entry: {n} rows, schema {df.schema.simpleString()[:120]}")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"create view {t} as select * from read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+    qs, osql = E.queries(), E.oracle_sql()
+    keys = sorted(qs) if not args.keys else args.keys.split(",")
+    bad = []
+    for name in keys:
+        t0 = time.time()
+        try:
+            got = qs[name](spark, args.sf_dir).toPandas()
+            want = con.sql(osql[name]).df()
+            got, want = (
+                d[sorted(d.columns)].sort_values(sorted(d.columns)).reset_index(drop=True)
+                for d in (got, want)
+            )
+            ok = (
+                got.shape == want.shape
+                and list(got.columns) == list(want.columns)
+                and all(
+                    (
+                        (got[c].values == want[c].values)
+                        | (pd.isna(got[c].values) & pd.isna(want[c].values))
+                    ).all()
+                    for c in got.columns
+                )
+            )
+        except Exception as ex:
+            ok = False
+            print(f"  {name}: EXCEPTION {str(ex)[:140]}")
+        if not ok:
+            bad.append(name)
+        print(f"  {name}: {'ok' if ok else 'FAIL'} ({time.time() - t0:.1f}s)")
+    print(f"{len(keys) - len(bad)}/{len(keys)} queries oracle-green")
+    if bad:
+        print("FAILED:", bad)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
