@@ -546,6 +546,92 @@ _register(GEO3, "partitioned_roundtrip", _q_partitioned_roundtrip, _partitioned_
 
 
 # --------------------------------------------------------------------------
+# Analytics-surface breadth: exact interpolated quantiles, ntile
+# bucketing, and URL host/path parsing (regexp) — standard operators a
+# switching user expects alongside the SURVEY set.
+
+
+def _q_quantiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_register(
+    TEXT3,
+    "quantiles",
+    _q_quantiles,
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
+def _q_ntile_buckets(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+_register(
+    TEXT3,
+    "ntile_buckets",
+    _q_ntile_buckets,
+    """
+    SELECT bucket, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+    FROM (
+        SELECT c_acctbal,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER)
+                   AS bucket
+        FROM customer
+    ) GROUP BY bucket
+    """,
+)
+
+
+def _q_url_parse(spark, sf_dir):
+    from .pipelines.assign_tiles import web_pages_from_documents
+
+    pages = web_pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1).alias("path"),
+        F.regexp_extract("url", r"^(https?)://", 1).alias("scheme"),
+    )
+
+
+def _url_parse_sql() -> str:
+    from .oracles import URL_SQL
+
+    return f"""
+    WITH pages AS (SELECT {URL_SQL} AS url FROM documents)
+    SELECT url,
+           regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path,
+           regexp_extract(url, '^(https?)://', 1) AS scheme
+    FROM pages
+    """
+
+
+_register(TEXT3, "url_parse", _q_url_parse, _url_parse_sql())
+
+
+# --------------------------------------------------------------------------
 # P4: the reference's path-pattern row filter (keep '/branches/', drop
 # '_pixels_', load.py:80) over an oracle-reproducible synthetic manifest.
 
