@@ -383,11 +383,9 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
-_register(
-    TEXT2,
-    "sessionize",
-    _q_sessionize,
-    """
+# shared with the stateful-streaming twin (entry_queries_r2
+# stream_sessionize): batch and stream MUST verify against the same SQL
+SESSIONIZE_ORACLE_SQL = """
     WITH g AS (
         SELECT user_id,
                CASE WHEN lag(CAST(epoch(ts) AS DOUBLE)) OVER
@@ -401,8 +399,9 @@ _register(
     SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
            count(*) AS n_events
     FROM g GROUP BY user_id
-    """,
-)
+    """
+
+_register(TEXT2, "sessionize", _q_sessionize, SESSIONIZE_ORACLE_SQL)
 
 
 # --------------------------------------------------------------------------

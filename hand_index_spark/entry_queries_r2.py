@@ -773,26 +773,16 @@ _register(
 
 
 def _q_cosine_dup_pairs(spark, sf_dir):
-    from .operators.ann import candidates, with_buckets
+    from .operators.ann import candidates, exact_cosine, with_buckets
 
     emb = _t(spark, sf_dir, "embeddings")
     base = with_buckets(emb)
     cand = candidates(base, F.lit(True)).filter(F.col("qid") < F.col("vec_id"))
-    qv = base.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("norm").alias("qn"))
-    cv = base.select("vec_id", F.col("e").alias("ce"), F.col("norm").alias("cn"))
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    sims = cand.join(qv, "qid").join(cv, "vec_id").withColumn(
-        "cos", dot / (F.col("qn") * F.col("cn"))
-    )
-    return (
-        sims.filter(F.col("cos") >= 0.3)
-        .select(
-            F.col("qid").alias("id_a"),
-            F.col("vec_id").alias("id_b"),
-            F.round("cos", 6).alias("sim"),
-        )
+    sims = exact_cosine(base, cand, F.lit(True))
+    return sims.filter(F.col("cos") >= 0.3).select(
+        F.col("qid").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.round("cos", 6).alias("sim"),
     )
 
 
@@ -865,26 +855,15 @@ def _q_stream_sessionize(spark, sf_dir):
     )
 
 
-_register(
-    TEXT3,
-    "stream_sessionize",
-    _q_stream_sessionize,
-    """
-    WITH g AS (
-        SELECT user_id,
-               CASE WHEN lag(CAST(epoch(ts) AS DOUBLE)) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                         OR CAST(epoch(ts) AS DOUBLE)
-                            - lag(CAST(epoch(ts) AS DOUBLE)) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    )
-    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
-           count(*) AS n_events
-    FROM g GROUP BY user_id
-    """,
-)
+def _sessionize_oracle() -> str:
+    # the SAME SQL verifies the batch sessionizer and this stateful
+    # streaming twin — stream-equals-batch by construction
+    from .entry_queries_ext import SESSIONIZE_ORACLE_SQL
+
+    return SESSIONIZE_ORACLE_SQL
+
+
+_register(TEXT3, "stream_sessionize", _q_stream_sessionize, _sessionize_oracle())
 
 
 # --------------------------------------------------------------------------

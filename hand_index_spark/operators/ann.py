@@ -135,6 +135,41 @@ def with_vectors(emb: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
+def exact_cosine(base: DataFrame, cand: DataFrame, query_pred: Column) -> DataFrame:
+    """Score candidate pairs (qid, vec_id) with the exact cosine from
+    ``base``'s e/norm columns — the shared verify stage of every ANN
+    variant (banded LSH, IVF, threshold dedup)."""
+    qv = base.filter(query_pred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("norm").alias("qn")
+    )
+    cv = base.select("vec_id", F.col("e").alias("ce"), F.col("norm").alias("cn"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return cand.join(qv, "qid").join(cv, "vec_id").withColumn(
+        "cos", dot / (F.col("qn") * F.col("cn"))
+    )
+
+
+def exact_rerank(
+    base: DataFrame, cand: DataFrame, query_pred: Column, k: int
+) -> DataFrame:
+    """Top-k exact-cosine re-rank of candidates with the oracle's
+    ORDER BY cos DESC, vec_id tie-break."""
+    sims = exact_cosine(base, cand, query_pred)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -177,27 +212,7 @@ def ivf_topk(
         .select("qid", F.col("cvid").alias("vec_id"))
         .distinct()
     )
-    qv = base.filter(query_pred).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("norm").alias("qn")
-    )
-    cv = base.select("vec_id", F.col("e").alias("ce2"), F.col("norm").alias("cn2"))
-    qdot = F.aggregate(
-        F.zip_with("qe", "ce2", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    sims = cand.join(qv, "qid").join(cv, "vec_id").withColumn(
-        "cos", qdot / (F.col("qn") * F.col("cn2"))
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(
-            "qid",
-            "vec_id",
-            F.round("cos", 6).alias("sim"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return exact_rerank(base, cand, query_pred, k)
 
 
 def candidates(
@@ -252,24 +267,4 @@ def ann_topk(
     """
     base = with_buckets(emb, n_tables, n_planes)
     cand = candidates(base, query_pred, n_tables, n_planes, probe_flips)
-    qv = base.filter(query_pred).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("norm").alias("qn")
-    )
-    cv = base.select("vec_id", F.col("e").alias("ce"), F.col("norm").alias("cn"))
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    sims = cand.join(qv, "qid").join(cv, "vec_id").withColumn(
-        "cos", dot / (F.col("qn") * F.col("cn"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "qid",
-            "vec_id",
-            F.round("cos", 6).alias("sim"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return exact_rerank(base, cand, query_pred, k)

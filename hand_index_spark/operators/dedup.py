@@ -96,6 +96,26 @@ def band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out
 
 
+def salted_band_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """(id, band_idx, bk, salt) after the exact-dedup pre-pass, with
+    buckets wider than ``cap`` split by ``id % ceil(n/cap)`` — the
+    bounded self-join groups that candidate generation (and the
+    hot-bucket tests) operate on."""
+    reps = exact_dedup_reps(docs, text_col, id_col)
+    banded = band_buckets(minhash_signatures(reps, text_col, id_col), id_col)
+    sizes = banded.groupBy("band_idx", "bk").agg(F.count(F.lit(1)).alias("cnt"))
+    return banded.join(sizes, ["band_idx", "bk"]).withColumn(
+        "salt",
+        F.col(id_col)
+        % F.greatest(F.lit(1).cast("long"), F.expr(f"(cnt + {cap - 1}) div {cap}")),
+    )
+
+
 def capped_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -104,14 +124,7 @@ def capped_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) with the exact-dedup pre-pass
     and the hot-bucket cap wired in. All joins are bucket-key equi-joins."""
-    reps = exact_dedup_reps(docs, text_col, id_col)
-    banded = band_buckets(minhash_signatures(reps, text_col, id_col), id_col)
-    sizes = banded.groupBy("band_idx", "bk").agg(F.count(F.lit(1)).alias("cnt"))
-    salted = banded.join(sizes, ["band_idx", "bk"]).withColumn(
-        "salt",
-        F.col(id_col)
-        % F.greatest(F.lit(1).cast("long"), F.expr(f"(cnt + {cap - 1}) div {cap}")),
-    )
+    salted = salted_band_buckets(docs, text_col, id_col, cap)
     a = salted.select(
         F.col(id_col).alias("id_a"), "band_idx", "bk", "salt"
     )

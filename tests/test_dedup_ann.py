@@ -10,11 +10,10 @@ from pyspark.sql import functions as F
 
 from hand_index_spark.operators import ann
 from hand_index_spark.operators.dedup import (
-    band_buckets,
     capped_candidate_pairs,
     exact_dedup_reps,
     jaccard_refine,
-    minhash_signatures,
+    salted_band_buckets,
 )
 
 # ---------------------------------------------------------------- dedup
@@ -43,14 +42,7 @@ def test_exact_dedup_collapses_identical_mass(spark):
 def test_hot_bucket_cap_bounds_group_width(spark):
     docs = _degenerate_docs(spark)
     cap = 10
-    reps = exact_dedup_reps(docs)
-    banded = band_buckets(minhash_signatures(reps))
-    sizes = banded.groupBy("band_idx", "bk").agg(F.count(F.lit(1)).alias("cnt"))
-    salted = banded.join(sizes, ["band_idx", "bk"]).withColumn(
-        "salt",
-        F.col("doc_id")
-        % F.greatest(F.lit(1).cast("long"), F.expr(f"(cnt + {cap - 1}) div {cap}")),
-    )
+    salted = salted_band_buckets(docs, cap=cap)
     widths = (
         salted.groupBy("band_idx", "bk", "salt")
         .agg(F.count(F.lit(1)).alias("w"))
