@@ -546,6 +546,50 @@ _register(GEO3, "partitioned_roundtrip", _q_partitioned_roundtrip, _partitioned_
 
 
 # --------------------------------------------------------------------------
+# Near-dup CLUSTERING: LSH candidates -> exact Jaccard -> connected
+# components (iterative min-label propagation — the distributed graph
+# step that ends every corpus-dedup pipeline). Fully oracled: DuckDB
+# computes the same components via a recursive-CTE transitive closure.
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from .operators.dedup import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _dedup_clusters_sql() -> str:
+    from .entry_queries_ext import ORACLES2
+
+    pairs_sql = ORACLES2["jaccard_pairs"]
+    return f"""
+    WITH RECURSIVE p AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION
+        SELECT id_b AS a, id_a AS b FROM p
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND r.a != e.b
+    ),
+    lbl AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lbl
+    """
+
+
+_register(TEXT3, "dedup_clusters", _q_dedup_clusters, _dedup_clusters_sql())
+
+
+# --------------------------------------------------------------------------
 # Analytics-surface breadth: exact interpolated quantiles, ntile
 # bucketing, and URL host/path parsing (regexp) — standard operators a
 # switching user expects alongside the SURVEY set.

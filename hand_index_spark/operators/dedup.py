@@ -25,7 +25,7 @@ swap xxhash64 — the banding mechanics are identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # shared token hash: h(t) = (len(t)*2654435761 + ascii(first)*65599
@@ -137,6 +137,77 @@ def capped_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def min_label_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components via iterative min-label propagation — the
+    distributed graph step that turns verified near-dup PAIRS into
+    dedup CLUSTERS (each component labeled by its minimum node id).
+
+    Converges in O(component diameter) rounds (each round every node
+    takes the min of its own and its neighbors' labels); near-dup
+    components are shallow in practice. Every round is two keyed
+    shuffles; lineage is truncated per round with localCheckpoint so a
+    long chain cannot accumulate a deep plan.
+
+    ``nodes``: one column ``node``; ``edges``: columns (a, b),
+    direction-agnostic (symmetrized here).
+    """
+    sym = edges.select(F.col("a"), F.col("b")).unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidates -> exact Jaccard
+    verify -> connected components. Returns (doc_id, cluster_id,
+    cluster_size); singletons cluster to themselves."""
+    pairs = jaccard_refine(
+        docs, capped_candidate_pairs(docs, text_col, id_col, cap), text_col,
+        id_col, threshold,
+    )
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    labels = min_label_components(nodes, edges)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
 
 
 def jaccard_refine(

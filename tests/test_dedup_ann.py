@@ -75,6 +75,19 @@ def test_jaccard_refine_verifies_candidates_only(spark):
     assert set(out) <= {(1, 2), (1, 3)}
 
 
+def test_min_label_components_known_graph(spark):
+    """Chain 1-2-3, pair 10-11, isolated 20 -> components {1,1,1},
+    {10,10}, {20}; sizes 3/3/3/2/2/1."""
+    from hand_index_spark.operators.dedup import min_label_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "node long")
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "a long, b long")
+    got = {
+        r.node: r.label for r in min_label_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
 # -------------------------------------------------- batch overlap kernels
 
 
