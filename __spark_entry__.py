@@ -2,9 +2,13 @@
 
 ``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 with a DuckDB-verifiable oracle wherever the semantics are
-SQL-expressible (geo assignment included — the tile grid is arithmetic,
-see hand_index_spark/tables/tilegrid.py).
+SURVEY.md §2 (65 queries as of round 2) and EVERY one carries a DuckDB
+oracle — including the geo assignment (the tile grid is closed-form
+arithmetic, tables/tilegrid.py), the trig-bearing transforms (via
+discretization-safe comparisons), iterative graph clustering (via a
+recursive-CTE closure), and stateful streaming (via batch parity).
+Registry batches: entry_queries.py, entry_queries_ext.py,
+entry_queries_r2.py; see COVERAGE.md for the operator -> query map.
 """
 
 from __future__ import annotations
