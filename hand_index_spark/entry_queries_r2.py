@@ -589,6 +589,34 @@ def _dedup_clusters_sql() -> str:
 _register(TEXT3, "dedup_clusters", _q_dedup_clusters, _dedup_clusters_sql())
 
 
+def _q_dedup_keep(spark, sf_dir):
+    """The dedup WRITEBACK: keep one canonical doc per cluster (the
+    min-id representative) — the row set a training pipeline persists."""
+    from .operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    reps = (
+        dedup_clusters(d, threshold=0.2)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return d.join(reps, "doc_id", "left_semi").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+
+
+def _dedup_keep_sql() -> str:
+    return f"""
+    WITH clusters AS ({_dedup_clusters_sql()})
+    SELECT d.doc_id, sha256(d.text) AS text_sha
+    FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM clusters WHERE doc_id = cluster_id)
+    """
+
+
+_register(TEXT3, "dedup_keep", _q_dedup_keep, _dedup_keep_sql())
+
+
 # --------------------------------------------------------------------------
 # Analytics-surface breadth: exact interpolated quantiles, ntile
 # bucketing, and URL host/path parsing (regexp) — standard operators a

@@ -89,6 +89,73 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     assert got.equals(want)
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: with a 1-hour watermark, an event arriving
+    in a later micro-batch but timestamped beyond the advanced
+    watermark is DROPPED from the windowed aggregate (append mode)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.streaming.ingest import windowed_rollup
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def mk(path, rows):
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(minutes=m), int(c)) for m, c in rows],
+            "warc_ts timestamp, cell_id long",
+        ).coalesce(1).write.parquet(path)
+
+    import time as _time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 0: max event time t0+4h -> watermark becomes t0+3h
+    mk(f"{src}/p1", [(0, 1), (60, 1), (240, 1)])
+    # batch 1: on-time event (the wm computed from batch 0 takes effect
+    # here; Spark grants in-flight rows of THIS batch a one-batch grace)
+    mk(f"{src}/p2", [(210, 1)])
+    # batch 2: the LATE event (t0+90min, window end t0+2h < wm t0+3h)
+    # arrives after the watermark is in force -> must be dropped
+    mk(f"{src}/p3", [(90, 1)])
+    # the file source orders by modification time: pin p1 < p2 < p3
+    now = _time.time()
+    for i, p in enumerate(("p1", "p2", "p3")):
+        ts = now - 300 + i * 60
+        for root, _dirs, files in os.walk(f"{src}/{p}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (ts, ts))
+    schema = spark.read.parquet(f"{src}/p1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    agg = windowed_rollup(stream, ts_col="warc_ts")
+    import uuid as _uuid
+
+    name = f"wm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # append emits only FINALIZED windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3, "expected three micro-batches"
+    got = {
+        (r["window"]["start"].hour, r["n_pages"])
+        for r in spark.table(name).collect()
+    }
+    # finalized windows (end <= final watermark t0+3h): hour 0 with its
+    # single event and hour 1 with ONLY the on-time minute-60 event —
+    # the late minute-90 arrival was dropped; hour 3/4 stay open
+    assert got == {(0, 1), (1, 1)}, got
+
+
 def test_stateful_sessionize_state_crosses_microbatches(spark):
     """applyInPandasWithState: with the events time-split into two files
     and maxFilesPerTrigger=1, users active in both halves must be
