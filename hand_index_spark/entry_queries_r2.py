@@ -704,6 +704,74 @@ _register(TEXT3, "url_parse", _q_url_parse, _url_parse_sql())
 
 
 # --------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT — absent from the reference, part
+# of the standard relational surface) and string edit distance.
+
+
+def _q_intersect_keys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return o.intersect(c)
+
+
+_register(
+    TEXT3,
+    "intersect_keys",
+    _q_intersect_keys,
+    """
+    SELECT o_custkey AS k FROM orders
+    INTERSECT
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0.0
+    """,
+)
+
+
+def _q_except_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.subtract(o)  # set EXCEPT (dedups), matching SQL EXCEPT
+
+
+_register(
+    TEXT3,
+    "except_keys",
+    _q_except_keys,
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+
+
+def _q_edit_distance(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    probe = "the quick brown"
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 16), F.lit(probe)).cast("long").alias(
+            "dist"
+        ),
+    )
+
+
+_register(
+    TEXT3,
+    "edit_distance",
+    _q_edit_distance,
+    """
+    SELECT doc_id,
+           CAST(levenshtein(substr(text, 1, 16), 'the quick brown') AS BIGINT) AS dist
+    FROM documents
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # P4: the reference's path-pattern row filter (keep '/branches/', drop
 # '_pixels_', load.py:80) over an oracle-reproducible synthetic manifest.
 
