@@ -21,12 +21,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..geo import cells as h3lite
 from ..operators import assign as A
 from ..operators import encode as E
 from ..operators.skew import detect_hot_cells, salted_repartition
 from ..tables.icelite import IceliteTable
 
-PARTITION_COL = "h3_r5"
+# Hive-partition the assignments on a COARSE cell. Round-2 lesson,
+# measured: partitioning point data by h3_r5 creates up to one
+# directory per ~2x2 km cell — a 2M-row ingest exploded into ~10^6
+# tiny files and could not finish; res 0 (~1 degree) yields O(1500)
+# CONUS partitions, each a healthy parquet file at any scale. The
+# fine-grained r5-r9 cells remain ordinary COLUMNS (predicate pushdown
+# still prunes on them via row-group stats); only the directory layout
+# must stay coarse — exactly the reference's coarse --h3-resolution
+# default (load.py:314).
+PARTITION_COL = "h3_r0"
+PARTITION_RES = 0
 
 
 def ingest_pages(
@@ -47,10 +58,16 @@ def ingest_pages(
     if not asg_table.stage_done("assign", fingerprint):
         df = E.with_geotag(pages)
         df = E.with_cells(df)
-        df = A.assign_tiles(df, spark, pip="convex", with_s2=True)
-        # skew sketch on a sample, then the pipeline's single shuffle:
-        # salted repartition keyed on the partition cell
+        df = df.withColumn(
+            PARTITION_COL,
+            h3lite.encode_col(F.col("lat"), F.col("lon"), PARTITION_RES),
+        )
+        # skew sketch BEFORE the assignment UDF: the cell key exists
+        # already, and sampling a post-UDF frame still executes the UDF
+        # for every row — detecting first saves one full Python pass
+        # over the corpus (measured on the 2M-row stress)
         hot = detect_hot_cells(df, PARTITION_COL, quantile=0.99, sample_fraction=0.1)
+        df = A.assign_tiles(df, spark, pip="convex", with_s2=True)
         df = salted_repartition(
             df,
             num_partitions,

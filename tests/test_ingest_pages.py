@@ -25,18 +25,20 @@ def test_ingest_outputs(spark, ingested):
     root, snaps = ingested
     asg = IceliteTable(root, "assignments").read(spark)
     assert asg.count() == 500
-    assert {"url", "tile_id", "method", "dist2", "s2_cell", "h3_r5", "cell_id"} <= set(
+    assert {"url", "tile_id", "method", "dist2", "s2_cell", "h3_r5", "h3_r0", "cell_id"} <= set(
         asg.columns
     )
-    # partition layout on disk is hive-style by h3_r5 inside the
-    # snapshot-manifest data directory (atomic-publish layout)
+    # partition layout on disk is hive-style by the COARSE cell inside
+    # the snapshot-manifest data directory (atomic-publish layout);
+    # fine cells stay as columns — a fine partition key explodes into
+    # one directory per ~2km cell at scale (measured round 2)
     import os
 
     t = IceliteTable(root, "assignments")
     snap = t.current_snapshot()
     assert snap["data_paths"], "snapshot must carry a data-path manifest"
     data_dir = os.path.join(root, "assignments", "data", snap["data_paths"][-1])
-    parts = [d for d in os.listdir(data_dir) if d.startswith("h3_r5=")]
+    parts = [d for d in os.listdir(data_dir) if d.startswith("h3_r0=")]
     assert len(parts) > 5
     roll = IceliteTable(root, "cell_rollup").read(spark)
     assert roll.agg(F.sum("n_pages")).collect()[0][0] == 500
