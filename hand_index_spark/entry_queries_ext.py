@@ -186,11 +186,12 @@ _BUCKET_CAP = 50
 
 
 def _q_jaccard_pairs(spark, sf_dir):
-    from .operators.dedup import capped_candidate_pairs, jaccard_refine
+    from .operators.dedup import capped_candidate_pairs, dedup_base, jaccard_refine
 
     d = _t(spark, sf_dir, "documents")
-    pairs = capped_candidate_pairs(d, cap=_BUCKET_CAP)
-    return jaccard_refine(d, pairs, threshold=0.2)
+    base = dedup_base(d)  # ONE corpus scan feeds signatures + token sets
+    pairs = capped_candidate_pairs(base=base, cap=_BUCKET_CAP)
+    return jaccard_refine(d, pairs, threshold=0.2, base=base)
 
 
 _JAC_EXPR = (
@@ -223,7 +224,8 @@ _register(
         FROM banded
     ), salted AS (
         SELECT doc_id, band_idx, bk,
-               doc_id % greatest(1, (cnt + {_BUCKET_CAP - 1}) // {_BUCKET_CAP}) AS salt
+               ((((doc_id % 1000003) * 2654435761) + 12289) % 1000003)
+                 % greatest(1, (cnt + {_BUCKET_CAP - 1}) // {_BUCKET_CAP}) AS salt
         FROM sized
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -562,6 +562,10 @@ def _dedup_clusters_sql() -> str:
     from .entry_queries_ext import ORACLES2
 
     pairs_sql = ORACLES2["jaccard_pairs"]
+    # edges exist only among exact-dedup representatives; every doc then
+    # inherits its sha256 representative's cluster label (rm join), so
+    # byte-identical duplicates land in the rep's cluster — mirrors
+    # operators/dedup.py dedup_clusters (ADVICE r2 medium)
     return f"""
     WITH RECURSIVE p AS ({pairs_sql}),
     edges AS (
@@ -574,15 +578,22 @@ def _dedup_clusters_sql() -> str:
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND r.a != e.b
     ),
+    rm AS (
+        SELECT d.doc_id, r.rep_id
+        FROM documents d
+        JOIN (SELECT sha256(text) AS sha, min(doc_id) AS rep_id
+              FROM documents GROUP BY sha256(text)) r
+          ON sha256(d.text) = r.sha
+    ),
     lbl AS (
-        SELECT d.doc_id,
-               least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        GROUP BY d.doc_id
+        SELECT n.rep_id,
+               least(n.rep_id, coalesce(min(r.b), n.rep_id)) AS cluster_id
+        FROM (SELECT DISTINCT rep_id FROM rm) n LEFT JOIN reach r ON r.a = n.rep_id
+        GROUP BY n.rep_id
     )
-    SELECT doc_id, cluster_id,
-           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-    FROM lbl
+    SELECT m.doc_id, l.cluster_id,
+           CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size
+    FROM rm m JOIN lbl l ON l.rep_id = m.rep_id
     """
 
 

@@ -3,24 +3,41 @@
 Pipeline shape (every stage a bucket-key equi-join or groupBy — no
 cross joins anywhere, VERDICT.md round-1 items 3/8):
 
-1. **exact-dedup pre-pass**: collapse byte-identical texts to one
+1. **one materialized corpus scan** (:func:`dedup_base`): (id, sha256,
+   token set) is computed once and localCheckpoint-ed; every downstream
+   consumer — exact-dedup reps, MinHash signatures, Jaccard token sets,
+   component nodes — reads the materialized rows. Round 2's plan
+   re-derived the signature subtree ~8x per run (VERDICT r2 item 1); at
+   100 TB each re-derivation is a full corpus explode+groupBy pass. In
+   the batch pipeline form the same stage is an icelite `signatures`
+   table (see pipelines docs); inside a single query localCheckpoint is
+   the equivalent materialization.
+2. **exact-dedup pre-pass**: collapse byte-identical texts to one
    representative (min id per sha256) so a degenerate corpus (millions
-   of identical docs) cannot create a quadratic LSH bucket;
-2. **MinHash signatures**: explode distinct tokens -> groupBy min over
+   of identical docs) cannot create a quadratic LSH bucket; after
+   clustering, every doc inherits its representative's cluster label,
+   so byte-identical duplicates land in the rep's cluster (not as
+   singletons) and the writeback keeps exactly one of them.
+3. **MinHash signatures**: explode distinct tokens -> groupBy min over
    deterministic permutations — pure Catalyst, zero Python;
-3. **LSH band buckets with a hot-bucket cap**: docs sharing a band
-   bucket are candidates; buckets wider than ``cap`` are split
-   deterministically by ``id % ceil(n/cap)`` so the within-bucket
-   self-join is bounded at cap^2 rows per split. The split loses
-   cross-split candidate pairs — the standard bounded-recall trade; the
-   exact-dedup pre-pass already removed the pathological identical-text
-   mass, so splits only fire on genuinely hot (near-identical) buckets;
-4. **exact-Jaccard verification on candidates only** (LSH-prefilter ->
+4. **LSH band buckets with a hot-bucket cap**: docs sharing a band
+   bucket are candidates; buckets wider than ``cap`` are split by a
+   deterministic HASH of the id (raw ``id % nsplits`` fails under
+   skewed id residues — e.g. all-even ids — ADVICE r2), bounding the
+   within-bucket self-join at ~cap^2 rows per split in expectation.
+   The split loses cross-split candidate pairs — the standard
+   bounded-recall trade; the exact-dedup pre-pass already removed the
+   pathological identical-text mass, so splits only fire on genuinely
+   hot (near-identical) buckets;
+5. **exact-Jaccard verification on candidates only** (LSH-prefilter ->
    exact verify), replacing any all-pairs comparison.
 
 The token hash is a cheap closed-form polynomial expressible in both
 Spark and DuckDB SQL (the driver-oracle requirement); production would
-swap xxhash64 — the banding mechanics are identical.
+swap xxhash64 — the banding mechanics are identical. ``perms`` /
+``bands`` are parameterizable (production MinHash dedup runs ~64-128
+perms; the 4-perm default keeps the sf0.01 oracle exact — recall at
+scale parameters is measured by scripts/recall_bench.py).
 """
 
 from __future__ import annotations
@@ -40,6 +57,32 @@ MINHASH_P = 2038074743
 BANDS = ((0, 1, 2), (1, 2, 3))  # band -> signature components
 DEFAULT_BUCKET_CAP = 50
 
+# hot-bucket split salt: a hash of the id, NOT the raw id (skewed id
+# residues — all-even ids, say — would put a whole bucket in one salt
+# group). (id % P) first keeps the product int64-exact at 10^12-row id
+# ranges in BOTH engines (DuckDB promotes overflow to HUGEINT while
+# Spark wraps — the parity trap).
+ID_SALT_HASH_SQL = "(((({id} % 1000003) * 2654435761) + 12289) % 1000003)"
+
+
+def perm_params(n: int) -> list[tuple[int, int]]:
+    """First ``n`` deterministic (a, b) MinHash permutation params; the
+    first 4 are the frozen oracle defaults."""
+    out = list(PERMS[:n])
+    k = len(out)
+    while len(out) < n:
+        out.append((1299721 + 104729 * (k + 1), 15485863 + 32452843 * (k + 1)))
+        k += 1
+    return out
+
+
+def rows_bands(n_perms: int, rows_per_band: int) -> tuple[tuple[int, ...], ...]:
+    """Standard banding: n_perms/rows_per_band disjoint bands."""
+    return tuple(
+        tuple(range(b * rows_per_band, (b + 1) * rows_per_band))
+        for b in range(n_perms // rows_per_band)
+    )
+
 
 def token_hash_col(t: Column) -> Column:
     """Same hash as TOKEN_HASH_SQL; substring(t,-1,1) == substr(t,len,1)
@@ -49,6 +92,36 @@ def token_hash_col(t: Column) -> Column:
         + F.ascii(F.substring(t, 1, 1)) * F.lit(65599)
         + F.ascii(F.substring(t, -1, 1)) * F.lit(97)
     ) % F.lit(1000003)
+
+
+def id_salt_hash_col(id_col: Column) -> Column:
+    """Spark twin of ID_SALT_HASH_SQL."""
+    return ((id_col % F.lit(1000003)) * F.lit(2654435761) + F.lit(12289)) % F.lit(
+        1000003
+    )
+
+
+def dedup_base(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ONE corpus scan: (id, sha, ws token set), materialized with
+    localCheckpoint so the whole dedup DAG reads the corpus exactly
+    once (VERDICT r2 item 1). Lineage truncates to an ExistingRDD scan;
+    the executor blocks are freed by the ContextCleaner when the last
+    downstream DataFrame is dropped."""
+    base = docs.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("sha"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
+    )
+    return base.localCheckpoint(eager=True)
+
+
+def rep_map(base: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, rep_id): every doc mapped to the min-id doc with
+    byte-identical text (its exact-dedup representative)."""
+    reps = base.groupBy("sha").agg(F.min(id_col).alias("rep_id"))
+    return base.join(reps, "sha").select(id_col, "rep_id")
 
 
 def exact_dedup_reps(
@@ -64,25 +137,39 @@ def exact_dedup_reps(
     return docs.join(reps, id_col, "left_semi")
 
 
-def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def _signatures_from_sets(
+    sets: DataFrame, id_col: str, perms: list[tuple[int, int]]
 ) -> DataFrame:
-    """(id, mh0..mh3) — explode + groupBy min, pure Catalyst."""
-    toks = docs.select(
-        id_col, F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
-    )
+    toks = sets.select(id_col, F.explode("ws").alias("tok"))
     h = token_hash_col(F.col("tok"))
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(PERMS)
+        for i, (a, b) in enumerate(perms)
     ]
     return toks.groupBy(id_col).agg(*aggs)
 
 
-def band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """(id, mh0..mhN) — explode + groupBy min, pure Catalyst."""
+    sets = docs.select(
+        id_col, F.array_distinct(F.split(F.col(text_col), " ")).alias("ws")
+    )
+    return _signatures_from_sets(sets, id_col, perms or PERMS)
+
+
+def band_buckets(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: tuple[tuple[int, ...], ...] = BANDS,
+) -> DataFrame:
     """(id, band_idx, bk) — one row per band."""
     parts = []
-    for bi, comps in enumerate(BANDS):
+    for bi, comps in enumerate(bands):
         parts.append(
             sig.select(
                 id_col,
@@ -97,40 +184,53 @@ def band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def salted_band_buckets(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     cap: int = DEFAULT_BUCKET_CAP,
+    base: DataFrame | None = None,
+    perms: list[tuple[int, int]] | None = None,
+    bands: tuple[tuple[int, ...], ...] = BANDS,
 ) -> DataFrame:
     """(id, band_idx, bk, salt) after the exact-dedup pre-pass, with
-    buckets wider than ``cap`` split by ``id % ceil(n/cap)`` — the
-    bounded self-join groups that candidate generation (and the
-    hot-bucket tests) operate on."""
-    reps = exact_dedup_reps(docs, text_col, id_col)
-    banded = band_buckets(minhash_signatures(reps, text_col, id_col), id_col)
+    buckets wider than ``cap`` split by ``hash(id) % ceil(n/cap)`` —
+    the bounded self-join groups that candidate generation (and the
+    hot-bucket tests) operate on. Materialized (localCheckpoint) so the
+    candidate self-join's two sides read it without recomputing the
+    signature subtree."""
+    if base is None:
+        base = dedup_base(docs, text_col, id_col)
+    reps = base.join(
+        base.groupBy("sha").agg(F.min(id_col).alias(id_col)).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    banded = band_buckets(
+        _signatures_from_sets(reps, id_col, perms or PERMS), id_col, bands
+    )
     sizes = banded.groupBy("band_idx", "bk").agg(F.count(F.lit(1)).alias("cnt"))
-    return banded.join(sizes, ["band_idx", "bk"]).withColumn(
+    salted = banded.join(sizes, ["band_idx", "bk"]).withColumn(
         "salt",
-        F.col(id_col)
+        id_salt_hash_col(F.col(id_col))
         % F.greatest(F.lit(1).cast("long"), F.expr(f"(cnt + {cap - 1}) div {cap}")),
     )
+    return salted.localCheckpoint(eager=True)
 
 
 def capped_candidate_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     cap: int = DEFAULT_BUCKET_CAP,
+    base: DataFrame | None = None,
+    perms: list[tuple[int, int]] | None = None,
+    bands: tuple[tuple[int, ...], ...] = BANDS,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) with the exact-dedup pre-pass
     and the hot-bucket cap wired in. All joins are bucket-key equi-joins."""
-    salted = salted_band_buckets(docs, text_col, id_col, cap)
-    a = salted.select(
-        F.col(id_col).alias("id_a"), "band_idx", "bk", "salt"
-    )
-    b = salted.select(
-        F.col(id_col).alias("id_b"), "band_idx", "bk", "salt"
-    )
+    salted = salted_band_buckets(docs, text_col, id_col, cap, base, perms, bands)
+    a = salted.select(F.col(id_col).alias("id_a"), "band_idx", "bk", "salt")
+    b = salted.select(F.col(id_col).alias("id_b"), "band_idx", "bk", "salt")
     return (
         a.join(b, ["band_idx", "bk", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -195,19 +295,27 @@ def dedup_clusters(
     cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """End-to-end near-dup clustering: LSH candidates -> exact Jaccard
-    verify -> connected components. Returns (doc_id, cluster_id,
-    cluster_size); singletons cluster to themselves."""
+    verify -> connected components over the exact-dedup representatives,
+    then every doc inherits its representative's cluster label (so
+    byte-identical duplicates join the rep's cluster — ADVICE r2).
+    Returns (doc_id, cluster_id, cluster_size); singletons cluster to
+    themselves. The corpus is scanned once (dedup_base)."""
+    base = dedup_base(docs, text_col, id_col)
+    rm = rep_map(base, id_col)
     pairs = jaccard_refine(
-        docs, capped_candidate_pairs(docs, text_col, id_col, cap), text_col,
-        id_col, threshold,
+        docs, capped_candidate_pairs(base=base, id_col=id_col, cap=cap),
+        text_col, id_col, threshold, base=base,
     )
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    nodes = rm.select(F.col("rep_id").alias("node")).distinct()
     labels = min_label_components(nodes, edges)
+    doc_labels = rm.join(labels, rm.rep_id == labels.node).select(
+        F.col(id_col), F.col("label").alias("cluster_id")
+    )
     w = Window.partitionBy("cluster_id")
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-    ).withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+    return doc_labels.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w).cast("long")
+    )
 
 
 def jaccard_refine(
@@ -216,11 +324,17 @@ def jaccard_refine(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    base: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard on candidate pairs only (id-key joins)."""
-    sets = docs.select(
-        F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("ws")
-    )
+    """Exact token-set Jaccard on candidate pairs only (id-key joins).
+    Pass ``base`` (from :func:`dedup_base`) to reuse the materialized
+    token sets instead of re-scanning the corpus."""
+    if base is not None:
+        sets = base.select(F.col(id_col), F.col("ws"))
+    else:
+        sets = docs.select(
+            F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("ws")
+        )
     j = (
         pairs.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("ws").alias("wa")), "id_a"

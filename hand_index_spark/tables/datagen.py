@@ -99,6 +99,41 @@ def tiles_raw(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "geom binary, branch_path string, src_file string")
 
 
+def synth_neardup_docs(
+    spark: SparkSession,
+    n: int,
+    group: int = 5,
+    vocab: int = 50_000,
+    toks: int = 16,
+) -> DataFrame:
+    """Deterministic near-dup corpus for dedup benchmarking, generated
+    entirely in Catalyst (no Python, no RNG): ``n`` docs in families of
+    ``group``. Family members share ``toks`` base tokens plus one
+    variant token (Jaccard ~= toks/(toks+2) between members — real
+    near-dups), and variants repeat mod 2, so every family also
+    contains byte-identical pairs that exercise the exact-dedup
+    pre-pass and the rep cluster merge."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    g = F.col("doc_id") / F.lit(group)
+    fam = F.floor(g).cast("long")
+    variant = (F.col("doc_id") % F.lit(group)) % F.lit(2)
+    base_toks = F.transform(
+        F.sequence(F.lit(0), F.lit(toks - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            ((fam * F.lit(2654435761) + i * F.lit(40503)) % F.lit(vocab)).cast(
+                "string"
+            ),
+        ),
+    )
+    text = F.concat(
+        F.array_join(base_toks, " "), F.lit(" v"), variant.cast("string")
+    )
+    return df.select("doc_id", text.alias("text"))
+
+
 def file_manifest(spark: SparkSession) -> DataFrame:
     """Asset paths per branch (FIXTURES.md §4): 1-3 hydrotable csvs,
     rem/catchment rasters with deterministic gaps (left-join nulls)."""

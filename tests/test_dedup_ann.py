@@ -58,6 +58,75 @@ def test_hot_bucket_cap_bounds_group_width(spark):
     assert pairs.count() < 10_000  # identical mass contributes ZERO pairs
 
 
+def test_hot_bucket_cap_survives_skewed_id_residues(spark):
+    """ADVICE r2: raw ``id % nsplits`` collapses when ids share residues
+    (all-even ids with 2 splits -> one salt group). The hash salt must
+    still split the hot bucket. 100 byte-distinct texts with identical
+    token SETS (so every one is an exact-dedup rep and all collide into
+    one band bucket), ids all even."""
+    rows = [
+        (2 * i, "alpha beta" + " alpha" * (i + 1)) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 50  # 100-wide bucket -> nsplits = 2; id % 2 == 0 for every doc
+    salted = salted_band_buckets(docs, cap=cap)
+    widths = (
+        salted.groupBy("band_idx", "bk", "salt")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .agg(F.max("w"))
+        .collect()[0][0]
+    )
+    assert widths <= 2 * cap - 10  # a raw-id salt would leave one 100-wide group
+
+
+def test_exact_duplicates_inherit_rep_cluster(spark):
+    """ADVICE r2 (medium): byte-identical duplicates must land in their
+    representative's cluster, not surface as singletons — and the
+    writeback keeps exactly one doc per merged cluster."""
+    from hand_index_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma alpha"),  # same token set -> near-dup of 1
+            (3, "alpha beta gamma"),  # byte-identical to 1
+            (4, "x y z"),
+            (5, "x y z"),  # byte-identical to 4
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(docs, threshold=0.2).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 2), 5: (4, 2)}
+
+
+def test_dedup_plan_reads_corpus_once(spark):
+    """VERDICT r2 item 1: the jaccard plan must not re-derive the
+    signature subtree — after dedup_base materialization the final plan
+    contains ZERO parquet scans (the corpus was scanned exactly once,
+    eagerly, into the checkpoint)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hand_index_spark.operators.dedup import (
+        capped_candidate_pairs as ccp,
+        dedup_base,
+        jaccard_refine as jr,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = dedup_base(d)
+    out = jr(d, ccp(base=base), threshold=0.2, base=base)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan
+
+
 def test_jaccard_refine_verifies_candidates_only(spark):
     docs = spark.createDataFrame(
         [
