@@ -8,7 +8,9 @@ per-partition lineage rows, resumable mid-job.
 
 Stage graph (each stage = one icelite snapshot, skipped on resume):
 
-  stage "assign":   pages -> assignments table (partitioned by h3_r5)
+  stage "assign":   pages -> assignments table (partitioned by h3_r0,
+                    the coarse key — ~1.5k dirs; fine cells stay
+                    columns for row-group pruning)
   stage "rollup":   per-cell/method histogram (the skew sketch, also
                     the operational metric table)
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -55,12 +56,25 @@ def _session_fn(gap_s: float):
         )
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
-        ep = batch["ts"].astype("datetime64[ns]").astype("int64") / 1e9
-        for t in ep:
-            if last_ts is None or (t - last_ts) > gap_s:
-                n_sessions += 1
-            n_events += 1
-            last_ts = float(t)
+        # int64 ns -> exact integer microseconds (< 2^53) BEFORE the
+        # float division: ns/1e9 directly loses ~128 ns on 2025-era
+        # stamps, which can flip a gap exactly equal to gap_s and break
+        # stream/batch parity (ADVICE r2)
+        ep = (
+            batch["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+            / 1e6
+        )
+        # vectorized gap test (no per-event Python): a session starts at
+        # every event whose gap since the previous one exceeds gap_s;
+        # the first event continues the stored state (or always starts
+        # a session when no state exists yet)
+        if len(ep):
+            prev = np.empty_like(ep)
+            prev[1:] = ep[:-1]
+            prev[0] = -np.inf if last_ts is None else last_ts
+            n_sessions += int((ep - prev > gap_s).sum())
+            n_events += len(ep)
+            last_ts = float(ep[-1])
         state.update((last_ts, int(n_sessions), int(n_events)))
         yield pd.DataFrame(
             {
