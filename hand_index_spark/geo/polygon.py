@@ -283,6 +283,79 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
+def dissolve_rings(rings: list[np.ndarray]) -> list[np.ndarray] | None:
+    """Exact polygon dissolve for edge-matched tilings — the true
+    concave union the reference's ``ST_Union_Agg`` computes
+    (load.py:151-159) for members that tile a region.
+
+    Every member ring is normalized CCW, then directed edges are
+    counted (two-phase, so the result is independent of member order):
+    an interior edge — shared by two members with bit-identical
+    endpoint coordinates — appears once in each direction and cancels;
+    the surviving boundary edges are stitched into closed rings. Outer
+    boundaries come out CCW (positive shoelace area), holes CW
+    (negative), so signed areas sum to the exact dissolved area.
+
+    Returns the list of open rings, or ``None`` when the members are
+    not an edge-matched tiling (net directed multiplicity > 1 —
+    overlapping or duplicated geometry — or leftover edges fail to
+    close); callers fall back to the convex hull, the documented
+    over-approximation. Per-group Python is bounded by member count
+    (a handful of small polygons per branch), the same envelope as the
+    hull kernel — this never iterates over data rows.
+    """
+    # phase 1: count directed edges (order-independent)
+    counts: dict[tuple, int] = {}
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) >= 2 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+            r = r[:-1]
+        if len(r) < 3:
+            return None
+        if ring_area(r) < 0.0:
+            r = r[::-1]
+        for i in range(len(r)):
+            a = (r[i, 0], r[i, 1])
+            b = (r[(i + 1) % len(r), 0], r[(i + 1) % len(r), 1])
+            if a == b:
+                continue
+            counts[a + b] = counts.get(a + b, 0) + 1
+    # phase 2: net multiplicity per undirected edge
+    out_adj: dict[tuple, list[tuple]] = {}
+    for k, c in counts.items():
+        a, b = (k[0], k[1]), (k[2], k[3])
+        rev = b + a
+        net = c - counts.get(rev, 0)
+        if net > 1 or (net == 1 and c > 1):
+            return None  # overlapping/duplicated members: not a tiling
+        if net == 1:
+            out_adj.setdefault(a, []).append(b)
+    for v in out_adj:
+        out_adj[v].sort()
+    # phase 3: stitch boundary edges into cycles (deterministic: each
+    # cycle starts at the lexicographically smallest available vertex)
+    out: list[np.ndarray] = []
+    while out_adj:
+        start = min(out_adj)
+        path = [start]
+        cur = start
+        while True:
+            nxts = out_adj.get(cur)
+            if not nxts:
+                return None  # dead end: boundary does not close
+            nxt = nxts.pop(0)
+            if not nxts:
+                del out_adj[cur]
+            if nxt == start:
+                break
+            path.append(nxt)
+            cur = nxt
+        if len(path) < 3:
+            return None
+        out.append(np.asarray(path, dtype=np.float64))
+    return out or None
+
+
 # --------------------------------------------------------------- batch API
 # Vectorized-across-polygons kernels: all rings of an Arrow batch live in
 # ONE flat (N,2) coords array with an offsets vector (len R+1), and every

@@ -7,12 +7,16 @@ first shuffle, keyed on the group column, partial-aggregation-free by
 nature (geometry union is not decomposable into Spark's built-in
 partial aggs).
 
-Union kernel: convex hull of all member vertices — exact when the
-branch dissolves to a convex region (true for the synthetic world,
-whose sub-polygons fan-triangulate a convex quad) and a documented
-convex over-approximation otherwise; the general concave dissolve would
-need a full polygon-clipping stack, which downstream consumers
-(centroid -> H3 key, bbox prefilter, simplify) do not require.
+Union kernel: **exact edge-cancellation dissolve**
+(geo/polygon.dissolve_rings) — interior edges shared by two members
+cancel, the surviving boundary edges stitch into the true (possibly
+concave, possibly holed) dissolved rings; centroid/area/bbox come from
+the signed-area-weighted ring sums, exact for edge-matched tilings
+(VERDICT r2 item 4: the L-shaped branch where hull != dissolve now
+yields the exact area). Members that genuinely overlap (not a tiling)
+fall back to the convex hull of all vertices — the documented
+over-approximation, which is also exact whenever the overlap region
+dissolves to a convex shape (true for the synthetic world).
 """
 
 from __future__ import annotations
@@ -64,17 +68,49 @@ def _union_one(key: tuple, pdf: pd.DataFrame, simplify_tol: float) -> pd.DataFra
             n += 1
     if not pts:
         return pd.DataFrame(columns=[f.name for f in UNION_SCHEMA.fields])
-    allpts = np.concatenate(pts, axis=0)
-    hull = P.convex_hull(allpts)
+    rings = P.dissolve_rings(pts)
+    if rings is None:  # overlapping members: convex-hull fallback
+        rings = [P.convex_hull(np.concatenate(pts, axis=0))]
     if simplify_tol > 0:
-        hull = P.douglas_peucker(hull, simplify_tol)[:-1]  # drop closure
-    cx, cy = P.ring_centroid(hull)
-    xmin, ymin, xmax, ymax = P.bbox_of(hull)
+        rings = [P.douglas_peucker(r, simplify_tol)[:-1] for r in rings]
+    # signed-area-weighted centroid over all parts (outers CCW positive,
+    # holes CW negative) — exact for the dissolved multipolygon
+    areas = [P.ring_area(r) for r in rings]
+    total = sum(areas)
+    if abs(total) > 0.0:
+        cents = [P.ring_centroid(r) for r in rings]
+        cx = sum(a * c[0] for a, c in zip(areas, cents)) / total
+        cy = sum(a * c[1] for a, c in zip(areas, cents)) / total
+    else:
+        cx, cy = P.ring_centroid(rings[0])
+    outer = rings[int(np.argmax(np.abs(areas)))]  # primary shell
+    boxes = [P.bbox_of(r) for r, a in zip(rings, areas) if a >= 0.0] or [
+        P.bbox_of(outer)
+    ]
+    xmin = min(b[0] for b in boxes)
+    ymin = min(b[1] for b in boxes)
+    xmax = max(b[2] for b in boxes)
+    ymax = max(b[3] for b in boxes)
+    shells_ = [r for r, a in zip(rings, areas) if a >= 0.0] or [outer]
+    holes = [r for r, a in zip(rings, areas) if a < 0.0]
+    if len(shells_) == 1:
+        geom = wkb.polygon_to_wkb([shells_[0], *holes])
+    else:
+        # assign each hole to the shell containing its first vertex
+        parts: list[list[np.ndarray]] = [[s] for s in shells_]
+        for h in holes:
+            for pi, s in enumerate(shells_):
+                if P.points_in_ring(
+                    np.array([h[0, 0]]), np.array([h[0, 1]]), s
+                )[0]:
+                    parts[pi].append(h)
+                    break
+        geom = wkb.multipolygon_to_wkb(parts)
     return pd.DataFrame(
         {
             "branch_path": [key[0]],
-            "geometry": [wkb.polygon_to_wkb([hull])],
-            "coords_flat": [hull.ravel().tolist()],
+            "geometry": [geom],
+            "coords_flat": [outer.ravel().tolist()],
             "geom_count": [n],
             "xmin": [xmin],
             "ymin": [ymin],

@@ -226,3 +226,96 @@ def test_s2_hilbert_locality_monotone_on_face():
     pos = (c >> np.int64(1)) & ((np.int64(1) << np.int64(60)) - np.int64(1))
     spread = pos.max() - pos.min()
     assert spread < np.int64(1) << np.int64(34)  # tight band for ~100m extent
+
+
+# ------------------------------------------------------------- dissolve
+
+
+def test_dissolve_l_shape_exact_vs_hull():
+    """VERDICT r2 item 4: an L-shaped branch (two rectangles sharing a
+    vertex-matched edge) must dissolve to the exact concave boundary —
+    area 3.0 — while the convex hull inflates to 3.5."""
+    from hand_index_spark.geo import polygon as P
+
+    a = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [0, 1]], float)  # CCW
+    b = np.array([[0, 1], [1, 1], [1, 2], [0, 2]], float)  # CCW
+    rings = P.dissolve_rings([a, b])
+    assert rings is not None and len(rings) == 1
+    (ring,) = rings
+    assert abs(P.ring_area(ring) - 3.0) == 0.0  # exact
+    # boundary is the exact L hexagon (7 distinct vertices incl. the
+    # edge-split point (1,1) which is a true corner of the L)
+    assert len(ring) == 7
+    hull = P.convex_hull(np.concatenate([a, b], axis=0))
+    assert P.ring_area(hull) > 3.0  # hull over-approximates (3.5)
+    # member order must not matter
+    rings2 = P.dissolve_rings([b, a])
+    assert np.array_equal(rings2[0], ring)
+    # CW input members are normalized
+    rings3 = P.dissolve_rings([a[::-1], b])
+    assert np.array_equal(rings3[0], ring)
+
+
+def test_dissolve_ring_with_hole():
+    """A 3x3 tiling minus the center tile dissolves to an outer square
+    (CCW, area 9) plus a CW hole (area -1): net exact area 8."""
+    from hand_index_spark.geo import polygon as P
+
+    tiles = []
+    for i in range(3):
+        for j in range(3):
+            if (i, j) == (1, 1):
+                continue
+            tiles.append(
+                np.array(
+                    [[i, j], [i + 1, j], [i + 1, j + 1], [i, j + 1]], float
+                )
+            )
+    rings = P.dissolve_rings(tiles)
+    assert rings is not None and len(rings) == 2
+    areas = sorted(P.ring_area(r) for r in rings)
+    assert areas == [-1.0, 9.0]
+
+
+def test_dissolve_rejects_overlap_and_duplicates():
+    from hand_index_spark.geo import polygon as P
+
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    # duplicated member: same directed edges twice -> not a tiling
+    assert P.dissolve_rings([sq, sq]) is None
+    # fan triangulation of the fixture world dissolves back to the quad
+    from hand_index_spark.tables.datagen import _fan_triangles, branch_quads_5070
+
+    for k in (2, 3, 4):
+        tid, _, quad = branch_quads_5070()[k]
+        tris = _fan_triangles(quad, k)
+        rings = P.dissolve_rings(tris)
+        assert rings is not None and len(rings) == 1
+        aq = abs(P.ring_area(quad))
+        assert abs(abs(P.ring_area(rings[0])) - aq) < 1e-12 * aq
+
+
+def test_union_branches_dissolve_feeds_pipeline(spark):
+    """union_branches over an L-shaped 2-member branch: exact dissolved
+    area/bbox/centroid (not hull-inflated)."""
+    from hand_index_spark.geo import wkb as W
+    from hand_index_spark.operators.union_agg import union_branches
+
+    a = np.array([[0, 0], [200, 0], [200, 100], [100, 100], [0, 100]], float)
+    b = np.array([[0, 100], [100, 100], [100, 200], [0, 200]], float)
+    df = spark.createDataFrame(
+        [("br/1/", bytearray(W.polygon_to_wkb([a]))),
+         ("br/1/", bytearray(W.polygon_to_wkb([b])))],
+        "branch_path string, geom binary",
+    )
+    row = union_branches(df, simplify_tol=0.0).collect()[0]
+    assert row.geom_count == 2
+    assert (row.xmin, row.ymin, row.xmax, row.ymax) == (0.0, 0.0, 200.0, 200.0)
+    # exact centroid of the L (area 3a^2 with a=100): ((a/6)*5, (a/6)*5)
+    # computed analytically: Cx = Cy = 250/3 for this L
+    assert abs(row.cx - 250.0 / 3.0) < 1e-9
+    assert abs(row.cy - 250.0 / 3.0) < 1e-9
+    ring = np.array(row.coords_flat).reshape(-1, 2)
+    from hand_index_spark.geo import polygon as P
+
+    assert abs(P.ring_area(ring) - 30000.0) == 0.0
