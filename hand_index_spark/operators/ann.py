@@ -170,27 +170,16 @@ def exact_rerank(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
-    query_pred: Column,
-    k: int = 3,
-    n_centroids: int = 16,
-    n_probe: int = 2,
-) -> DataFrame:
-    """IVF-style ANN: coarse quantizer -> probe top cells -> exact
-    re-rank (the brief's "IVF variant as the scale path").
+# mean-update quantization: centroid components are integer sums of
+# floor(e*Q + 0.5) divided by Q*count. Integer group sums are exact and
+# ORDER-FREE, so the centroids — and therefore the oracle hash — do not
+# depend on Spark's nondeterministic float-sum partition order.
+KMEANS_Q = 1024.0
 
-    The coarse centroids are the first ``n_centroids`` vectors
-    (deterministic stand-in for k-means — the partitioning mechanics,
-    which is what scales, are identical). Cell assignment is a
-    broadcast of the tiny centroid set against every vector (map-side,
-    no shuffle) + one groupBy-key window; queries probe their
-    ``n_probe`` nearest cells and re-rank exactly within them.
-    """
-    base = with_vectors(emb)
-    cents = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("norm").alias("cn")
-    )
+
+def _rank_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-vector centroid ranking: broadcast the tiny centroid set
+    (map-side, no shuffle) + one per-vector window."""
     dot = F.aggregate(
         F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
@@ -198,7 +187,81 @@ def ivf_topk(
         "ccos", dot / (F.col("norm") * F.col("cn"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    ranked = ac.withColumn("rn", F.row_number().over(w))
+    return ac.withColumn("rn", F.row_number().over(w))
+
+
+def _lloyd_update(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd round: assign every vector to its nearest centroid
+    (max cosine, min-cid tie-break), recompute each cell's centroid as
+    the quantized component mean; empty cells keep their old centroid
+    (mirrored by the oracle's LEFT JOIN + coalesce)."""
+    assigned = (
+        _rank_cells(base, cents)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    mem = base.join(assigned, "vec_id").select("cell", "e")
+    pe = mem.select("cell", F.posexplode("e").alias("pos", "val"))
+    sums = pe.groupBy("cell", "pos").agg(
+        F.sum(
+            F.floor(F.col("val") * F.lit(KMEANS_Q) + F.lit(0.5)).cast("long")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    newc = sums.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "cnt"))),
+            lambda x: x["s"].cast("double") / (F.lit(KMEANS_Q) * x["cnt"]),
+        ).alias("nce")
+    )
+    out = (
+        cents.join(newc, cents.cid == newc.cell, "left")
+        .withColumn("ce2", F.coalesce(F.col("nce"), F.col("ce")))
+        .select(
+            "cid",
+            F.col("ce2").alias("ce"),
+            F.sqrt(
+                F.aggregate(F.col("ce2"), F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("cn"),
+        )
+    )
+    # materialize each round's centroids: 16 tiny rows, and without it
+    # every later stage would re-run the whole preceding round chain
+    return out.localCheckpoint(eager=True)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    rounds: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer -> probe top cells -> exact
+    re-rank (the brief's "IVF variant as the scale path").
+
+    The coarse quantizer is real k-means: deterministic closed-form
+    init (first ``n_centroids`` vectors) + ``rounds`` Lloyd iterations
+    with quantized mean updates (VERDICT r2 item 7 — replaces the
+    first-N stand-in; measured better cell balance in
+    tests/test_dedup_ann.py). Fixed iteration count keeps the oracle
+    expressible as one nested-CTE-per-round SQL (ivf_oracle_sql).
+    Cell assignment broadcasts the tiny centroid set against every
+    vector (map-side, no shuffle) + one groupBy-key window; queries
+    probe their ``n_probe`` nearest cells and re-rank exactly within
+    them.
+    """
+    # materialize the normalized vectors once: every Lloyd round, the
+    # final ranking AND the re-rank all consume base — without this each
+    # eager round job re-reads the source and re-derives e/norm
+    base = with_vectors(emb).localCheckpoint(eager=True)
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("norm").alias("cn")
+    )
+    for _ in range(rounds):
+        cents = _lloyd_update(base, cents)
+    ranked = _rank_cells(base, cents)
     cells = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cvid"), F.col("cid").alias("cell")
     )
@@ -213,6 +276,82 @@ def ivf_topk(
         .distinct()
     )
     return exact_rerank(base, cand, query_pred, k)
+
+
+def ivf_oracle_sql(
+    query_where: str,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    rounds: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` — one CTE chain per Lloyd round
+    (a{r} assignment, m{r} quantized component sums, c{r+1} centroids
+    with empty-cell carry), then probes/candidates/re-rank. The single
+    source of truth for the ann_ivf_topk oracle."""
+    rank_sql = (
+        "SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ("
+        "SELECT v.vec_id, c.cid, list_sum(list_transform(range(1, {d} + 1), "
+        "i -> v.e[i] * c.ce[i])) / (v.norm * c.cn) AS ccos FROM e v, c{r} c)"
+    )
+    ctes = [
+        "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS e FROM embeddings)",
+        "e AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x)))"
+        " AS norm FROM e0)",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce, norm AS cn FROM e"
+        f" WHERE vec_id < {n_centroids})",
+    ]
+    q = f"{KMEANS_Q!r}"
+    for r in range(rounds):
+        ctes.append(f"a{r} AS ({rank_sql.format(d=dim, r=r)})")
+        ctes.append(
+            f"m{r} AS (SELECT a.cid AS cell, t.i AS pos,"
+            f" sum(CAST(floor(v.e[t.i] * {q} + 0.5) AS BIGINT)) AS s,"
+            f" count(*) AS cnt"
+            f" FROM (SELECT vec_id, cid FROM a{r} WHERE rn = 1) a"
+            f" JOIN e v ON v.vec_id = a.vec_id"
+            f" CROSS JOIN range(1, {dim} + 1) t(i)"
+            f" GROUP BY a.cid, t.i)"
+        )
+        ctes.append(
+            f"n{r} AS (SELECT cell AS cid,"
+            f" list(CAST(s AS DOUBLE) / ({q} * cnt) ORDER BY pos) AS ce"
+            f" FROM m{r} GROUP BY cell)"
+        )
+        ctes.append(
+            f"c{r + 1} AS (SELECT o.cid, coalesce(n.ce, o.ce) AS ce,"
+            f" sqrt(list_sum(list_transform(coalesce(n.ce, o.ce), x -> x * x)))"
+            f" AS cn FROM c{r} o LEFT JOIN n{r} n ON n.cid = o.cid)"
+        )
+    ctes.append(f"ranked AS ({rank_sql.format(d=dim, r=rounds)})")
+    ctes.append("cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)")
+    ctes.append(
+        f"probes AS (SELECT vec_id AS qid, cid AS pcell FROM ranked"
+        f" WHERE {query_where} AND rn <= {n_probe})"
+    )
+    ctes.append(
+        "cand AS (SELECT DISTINCT p.qid, l.vec_id FROM probes p"
+        " JOIN cells l ON l.cell = p.pcell AND l.vec_id != p.qid)"
+    )
+    ctes.append(
+        f"sims AS (SELECT cand.qid, cand.vec_id,"
+        f" list_sum(list_transform(range(1, {dim} + 1),"
+        f" i -> q.e[i] * v.e[i])) / (q.norm * v.norm) AS cos"
+        f" FROM cand JOIN e q ON q.vec_id = cand.qid"
+        f" JOIN e v ON v.vec_id = cand.vec_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT qid, vec_id, round(cos, 6) AS sim, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        FROM sims
+    ) WHERE rank <= {k}
+    """
+    )
 
 
 def candidates(
