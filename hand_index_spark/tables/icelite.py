@@ -37,7 +37,6 @@ import os
 import time
 import uuid
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -123,8 +122,32 @@ class IceliteTable:
         spark = df.sparkSession
         committed = spark.read.parquet(out_dir)
         key = lineage_key if lineage_key in committed.columns else None
-        lin_pdf = _lineage_frame(committed, stage, key).toPandas()
         cur = self.current_snapshot()
+        sid = (cur["snapshot_id"] + 1) if cur else 0
+        # lineage rows are written EXECUTOR-SIDE (no toPandas bridge —
+        # at millions of partitions the per-partition rows never touch
+        # the driver, VERDICT r2 item 8); write_id ties the rows to this
+        # write so the snapshot summary below cannot double-count if a
+        # crashed earlier attempt left orphan rows under the same sid
+        lin_df = (
+            _lineage_frame(committed, stage, key)
+            .withColumn("snapshot_id", F.lit(sid).cast("long"))
+            .withColumn("wall_ms_total", F.lit(wall_ms).cast("long"))
+            .withColumn("write_id", F.lit(rel))
+        )
+        lin_df.write.mode("append").parquet(self.lineage_dir)
+        # snapshot summary from the tiny committed lineage table (one
+        # aggregate row to the driver, independent of partition count)
+        summ = (
+            spark.read.parquet(self.lineage_dir)
+            .filter(F.col("write_id") == rel)
+            .agg(
+                F.coalesce(F.sum("row_count"), F.lit(0)).alias("rows"),
+                F.count(F.lit(1)).alias("parts"),
+                F.expr("bit_xor(checksum)").alias("ck"),
+            )
+            .collect()[0]
+        )
         if mode == "append" and cur is not None:
             prev = cur.get("data_paths")
             if not prev:
@@ -145,29 +168,17 @@ class IceliteTable:
                 "schema": df.schema.jsonValue(),
                 "partition_by": partition_by or [],
                 "data_paths": data_paths,
-                "row_count": int(lin_pdf["row_count"].sum()),
-                "n_partitions": int(len(lin_pdf)),
+                "row_count": int(summ["rows"]),
+                "n_partitions": int(summ["parts"]),
                 "checksum": (
-                    format(
-                        int(
-                            np.bitwise_xor.reduce(
-                                lin_pdf["checksum"].to_numpy(dtype=np.int64)
-                            )
-                        )
-                        & 0xFFFFFFFFFFFFFFFF,
-                        "016x",
-                    )
-                    if len(lin_pdf)
+                    format(int(summ["ck"]) & 0xFFFFFFFFFFFFFFFF, "016x")
+                    if summ["parts"]
                     else "0"
                 ),
                 "wall_ms": wall_ms,
             }
         )
-        lin_pdf["snapshot_id"] = snap["snapshot_id"]
-        lin_pdf["wall_ms_total"] = wall_ms
-        spark.createDataFrame(lin_pdf).coalesce(1).write.mode("append").parquet(
-            self.lineage_dir
-        )
+        assert snap["snapshot_id"] == sid  # pointer swap is single-writer
         return snap
 
     # ---------------------------------------------------------------- reads
