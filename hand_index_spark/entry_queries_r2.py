@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 import numpy as np
@@ -1138,3 +1139,92 @@ def _salted_histogram_sql() -> str:
 
 
 _register(GEO3, "salted_histogram", _q_salted_histogram, _salted_histogram_sql())
+
+
+# --------------------------------------------------------------------------
+# §2.10 late data: watermark DROP semantics as an oracled driver query
+# (VERDICT r2 item 9 — promoted from tests/test_skew_streaming.py). The
+# 5 globally-oldest events are staged as a SECOND micro-batch; after
+# batch 0 the watermark stands at max(ts) - 1h, so their hour windows
+# are long finalized and the late arrivals must be dropped. Append mode
+# emits exactly the finalized windows (end <= final watermark), which
+# the batch oracle reproduces arithmetically from the on-time rows.
+
+_N_LATE = 5
+
+
+def _q_stream_late_drop(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    late = ev.orderBy("ts", "event_id").limit(_N_LATE)
+    ontime = ev.join(late.select("event_id"), "event_id", "left_anti")
+    # batch 1 is a small on-time "grace" batch: Spark applies the
+    # advanced watermark to input filtering one batch AFTER it is
+    # computed, so the late file must be the THIRD batch (same staging
+    # as tests/test_skew_streaming.py::test_watermark_drops_late_data)
+    fresh = ontime.orderBy(F.col("ts").desc(), "event_id").limit(3)
+    mid = ontime.join(fresh.select("event_id"), "event_id", "left_anti")
+    src = _fresh_dir("stream_late_")
+    mid.coalesce(1).write.parquet(f"{src}/p1")
+    fresh.coalesce(1).write.parquet(f"{src}/p2")
+    late.coalesce(1).write.parquet(f"{src}/p3")
+    # the file source orders batches by modification time: p1 < p2 < p3
+    now = time.time()
+    for i, p in enumerate(("p1", "p2", "p3")):
+        ts = now - 300 + i * 60
+        for root, _dirs, files in os.walk(f"{src}/{p}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (ts, ts))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    # watermarks need TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the cast preserves wall-clock time and the date_format strings
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # append emits only FINALIZED windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("wstart"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_register(
+    TEXT3,
+    "stream_late_drop",
+    _q_stream_late_drop,
+    f"""
+    WITH late AS (
+        SELECT event_id FROM events ORDER BY ts, event_id LIMIT {_N_LATE}
+    ), ontime AS (
+        SELECT * FROM events
+        WHERE event_id NOT IN (SELECT event_id FROM late)
+    ), mx AS (SELECT max(ts) AS m FROM events),
+    win AS (
+        SELECT date_trunc('hour', ts) AS ws,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM ontime GROUP BY 1
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS wstart, n_events, sum_value
+    FROM win, mx
+    WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+    """,
+)
