@@ -68,6 +68,30 @@ def build_queries(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_pages"))
         )
 
+    # LLM-pipeline dedup path (VERDICT r2 item 6): LSH candidates +
+    # exact Jaccard over a 1M-row synthetic near-dup corpus — the
+    # corpus-proportional passes of dedup_clusters (signatures, band
+    # buckets, capped self-join, verify). The input corpus is
+    # checkpointed once OUTSIDE the timed region (datagen is not the
+    # engine); the engine's own dedup_base/salted materializations run
+    # INSIDE every timed iteration (build_queries callables are
+    # re-invoked per run below).
+    from hand_index_spark.operators.dedup import (
+        capped_candidate_pairs,
+        dedup_base,
+        jaccard_refine,
+    )
+    from hand_index_spark.tables.datagen import synth_neardup_docs
+
+    dedup_rows = int(os.environ.get("SPARK_GRAFT_DEDUP_BENCH_ROWS", 1_000_000))
+    corpus = synth_neardup_docs(spark, dedup_rows).localCheckpoint(eager=True)
+
+    def q_dedup_pairs_1m(_spark, _sf):
+        b = dedup_base(corpus)
+        return jaccard_refine(
+            corpus, capped_candidate_pairs(base=b), threshold=0.2, base=b
+        )
+
     return {
         "assign_synth": q_assign_synth,
         "cells_encode_synth": q_cells_encode_synth,
@@ -75,6 +99,7 @@ def build_queries(spark, sf_dir):
         "tile_histogram": q_tile_histogram,
         "pricing_summary": RELATIONAL["pricing_summary"],
         "join_left_3way": RELATIONAL["join_left_3way"],
+        "dedup_pairs_1m": q_dedup_pairs_1m,
     }
 
 
@@ -108,22 +133,23 @@ def main() -> None:
     queries = build_queries(spark, sf_dir)
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        df = fn(spark, sf_dir)
+        # the DataFrame is REBUILT every iteration so queries with eager
+        # internal materialization (dedup_base/salted localCheckpoints)
+        # are measured end-to-end, not from a cached checkpoint
+        def run_once() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
         # warm until stable (this demand-paged VM re-faults worker heaps;
         # cold runs are dominated by kernel time), then median of 3
         prev = None
         for _ in range(5):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            cur = time.perf_counter() - t0
+            cur = run_once()
             if prev is not None and abs(cur - prev) <= 0.2 * prev:
                 break
             prev = cur
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        runs = [run_once() for _ in range(3)]
         timings[name] = round(sorted(runs)[1], 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -138,10 +138,22 @@ def exact_dedup_reps(
 
 
 def _signatures_from_sets(
-    sets: DataFrame, id_col: str, perms: list[tuple[int, int]]
+    sets: DataFrame,
+    id_col: str,
+    perms: list[tuple[int, int]],
+    hash_mode: str = "oracle",
 ) -> DataFrame:
+    """hash_mode="oracle": the closed-form token hash (SQL-expressible,
+    the driver-parity default, but low-entropy: len/first/last chars
+    only). hash_mode="xxhash64": the production hash (full-entropy,
+    JVM-side, not oracle-expressible) — what a real deployment runs;
+    recall at scale parameters is measured with this
+    (scripts/recall_bench.py)."""
     toks = sets.select(id_col, F.explode("ws").alias("tok"))
-    h = token_hash_col(F.col("tok"))
+    if hash_mode == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col("tok")), F.lit(MINHASH_P))
+    else:
+        h = token_hash_col(F.col("tok"))
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(perms)
@@ -191,6 +203,7 @@ def salted_band_buckets(
     base: DataFrame | None = None,
     perms: list[tuple[int, int]] | None = None,
     bands: tuple[tuple[int, ...], ...] = BANDS,
+    hash_mode: str = "oracle",
 ) -> DataFrame:
     """(id, band_idx, bk, salt) after the exact-dedup pre-pass, with
     buckets wider than ``cap`` split by ``hash(id) % ceil(n/cap)`` —
@@ -206,7 +219,9 @@ def salted_band_buckets(
         "left_semi",
     )
     banded = band_buckets(
-        _signatures_from_sets(reps, id_col, perms or PERMS), id_col, bands
+        _signatures_from_sets(reps, id_col, perms or PERMS, hash_mode),
+        id_col,
+        bands,
     )
     sizes = banded.groupBy("band_idx", "bk").agg(F.count(F.lit(1)).alias("cnt"))
     salted = banded.join(sizes, ["band_idx", "bk"]).withColumn(
@@ -225,10 +240,13 @@ def capped_candidate_pairs(
     base: DataFrame | None = None,
     perms: list[tuple[int, int]] | None = None,
     bands: tuple[tuple[int, ...], ...] = BANDS,
+    hash_mode: str = "oracle",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) with the exact-dedup pre-pass
     and the hot-bucket cap wired in. All joins are bucket-key equi-joins."""
-    salted = salted_band_buckets(docs, text_col, id_col, cap, base, perms, bands)
+    salted = salted_band_buckets(
+        docs, text_col, id_col, cap, base, perms, bands, hash_mode
+    )
     a = salted.select(F.col(id_col).alias("id_a"), "band_idx", "bk", "salt")
     b = salted.select(F.col(id_col).alias("id_b"), "band_idx", "bk", "salt")
     return (
