@@ -283,23 +283,24 @@ def min_label_components(
             .groupBy("a")
             .agg(F.min("label").alias("nl"))
         )
+        # the convergence flag rides INSIDE the checkpointed frame, so
+        # counting changes is a cheap agg over materialized rows — no
+        # extra new-vs-old join (and its shuffle) per round
         new_labels = (
             labels.join(nbr, labels.node == nbr.a, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "label"
+                    "new_label"
                 ),
+                (
+                    F.coalesce(F.col("nl"), F.col("label")) < F.col("label")
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             return labels
     raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
