@@ -218,11 +218,21 @@ def salted_band_buckets(
         id_col,
         "left_semi",
     )
-    banded = band_buckets(
-        _signatures_from_sets(reps, id_col, perms or PERMS, hash_mode),
-        id_col,
-        bands,
-    )
+    sig = _signatures_from_sets(reps, id_col, perms or PERMS, hash_mode)
+    return salted_buckets_from_sig(sig, id_col, cap, bands)
+
+
+def salted_buckets_from_sig(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    cap: int = DEFAULT_BUCKET_CAP,
+    bands: tuple[tuple[int, ...], ...] = BANDS,
+) -> DataFrame:
+    """Banding + hot-bucket salting over an EXISTING signature frame —
+    the entry point for the pipeline form, where signatures are a
+    materialized icelite table (pipelines/dedup_corpus.py) rather than
+    an in-query checkpoint."""
+    banded = band_buckets(sig, id_col, bands)
     sizes = banded.groupBy("band_idx", "bk").agg(F.count(F.lit(1)).alias("cnt"))
     salted = banded.join(sizes, ["band_idx", "bk"]).withColumn(
         "salt",
@@ -230,6 +240,18 @@ def salted_band_buckets(
         % F.greatest(F.lit(1).cast("long"), F.expr(f"(cnt + {cap - 1}) div {cap}")),
     )
     return salted.localCheckpoint(eager=True)
+
+
+def pairs_from_salted(salted: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The capped within-bucket self-join: (id_a < id_b) candidates."""
+    a = salted.select(F.col(id_col).alias("id_a"), "band_idx", "bk", "salt")
+    b = salted.select(F.col(id_col).alias("id_b"), "band_idx", "bk", "salt")
+    return (
+        a.join(b, ["band_idx", "bk", "salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def capped_candidate_pairs(
@@ -247,14 +269,7 @@ def capped_candidate_pairs(
     salted = salted_band_buckets(
         docs, text_col, id_col, cap, base, perms, bands, hash_mode
     )
-    a = salted.select(F.col(id_col).alias("id_a"), "band_idx", "bk", "salt")
-    b = salted.select(F.col(id_col).alias("id_b"), "band_idx", "bk", "salt")
-    return (
-        a.join(b, ["band_idx", "bk", "salt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return pairs_from_salted(salted, id_col)
 
 
 def min_label_components(

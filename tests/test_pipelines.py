@@ -137,3 +137,66 @@ def test_roi_geojson_fixture_shapes():
         gj = datagen.roi_geojson(kind)
         assert gj["features"][0]["geometry"]["type"] == "Polygon"
         json.dumps(gj)  # serializable
+
+
+def test_dedup_corpus_pipeline_stages_and_resume(spark, tmp_path):
+    """The icelite-staged dedup pipeline must (a) reproduce the direct
+    dedup_clusters computation, (b) keep exactly one doc per cluster,
+    (c) resume mid-job without re-running committed stages (the
+    materialized signatures table survives the restart)."""
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.operators.dedup import dedup_clusters
+    from hand_index_spark.pipelines.dedup_corpus import dedup_corpus
+    from hand_index_spark.tables.icelite import IceliteTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # append byte-identical duplicates so the rep-merge path is live
+    dup = docs.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    corpus = docs.unionByName(dup)
+    root = str(tmp_path / "dedup")
+
+    snaps = dedup_corpus(spark, corpus, root, fingerprint="t1")
+    assert set(snaps) == {"reps", "signatures", "pairs", "clusters", "keep"}
+
+    got = (
+        IceliteTable(root, "clusters")
+        .read(spark)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        dedup_clusters(corpus, threshold=0.2)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # duplicates joined their rep's cluster and were dropped from keep
+    dups = got[got.doc_id >= 100000]
+    assert (dups.cluster_id < 100000).all()
+    kept = IceliteTable(root, "corpus_dedup").read(spark)
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+    n_clusters = got.cluster_id.nunique()
+    assert kept.count() == n_clusters
+
+    # resume: wipe the last two stages, re-run -> only they rebuild
+    import shutil
+
+    shutil.rmtree(f"{root}/clusters")
+    shutil.rmtree(f"{root}/corpus_dedup")
+    snaps2 = dedup_corpus(spark, corpus, root, fingerprint="t1")
+    assert set(snaps2) == {"clusters", "keep"}
+    got2 = (
+        IceliteTable(root, "clusters")
+        .read(spark)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert got2.equals(want)
