@@ -1228,3 +1228,67 @@ _register(
     WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Grouping breadth beyond ROLLUP: full CUBE over (status, priority) and
+# a fixed-column PIVOT (per-user event-type counts). Standard analytics
+# surface a switching user expects alongside rollup_counts.
+
+
+def _q_cube_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_register(
+    TEXT3,
+    "cube_counts",
+    _q_cube_counts,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_pivot_user_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) never occurred; a count
+    # surface reads better as 0 (and both sides agree on it)
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+_pivot_cols = ",\n           ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES
+)
+_register(
+    TEXT3,
+    "pivot_user_events",
+    _q_pivot_user_events,
+    f"""
+    SELECT user_id,
+           {_pivot_cols}
+    FROM events GROUP BY user_id
+    """,
+)
