@@ -24,7 +24,8 @@ equator — comparable footprints to H3 res 5-9 hexagons. Parent =
 bit-truncation of row/col (the property the engine relies on).
 
 Every encoder here has THREE equivalent implementations kept in lock-step
-(asserted by tests/test_cells.py):
+(asserted by tests/test_geo_kernels.py and the cells_encode/
+cell_parent driver oracles):
   1. NumPy kernel (for pandas UDFs),
   2. pure Catalyst Column expression (JVM-side, whole-stage codegen —
      the hot path at 10^12 rows),
