@@ -1292,3 +1292,62 @@ _register(
     FROM events GROUP BY user_id
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# §2.10 + D-ops: streaming foreachBatch -> icelite with exactly-once
+# appends. The documents-derived pages drain in two micro-batches into
+# an icelite table (one snapshot per batch), then the WHOLE stream is
+# replayed with a fresh checkpoint — every batch is re-offered and
+# skipped by the batch-id fingerprint guard. The oracle is the plain
+# batch aggregate: counts survive the replay unchanged.
+
+
+def _q_stream_icelite_ingest(spark, sf_dir):
+    from .pipelines.assign_tiles import web_pages_from_documents
+    from .streaming.ingest import write_assignments_icelite
+    from .operators import encode as E
+    from .tables.icelite import IceliteTable
+
+    pages = web_pages_from_documents(spark, sf_dir).select("url", "doc_id")
+    src = _fresh_dir("stream_ice_src_")
+    pages.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/f1")
+    pages.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/f2")
+    schema = spark.read.parquet(f"{src}/f1").schema
+    root = _fresh_dir("stream_ice_tbl_")
+    table = IceliteTable(root, "stream_asg")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        df = E.with_cells(E.with_geotag(stream), resolutions=(E.PARTITION_RES,))
+        q = write_assignments_icelite(df, table, _fresh_dir(f"stream_ice_{ckpt}_"))
+        q.awaitTermination()
+
+    drain("ck1")
+    drain("ck2")  # full replay: all batches re-offered, all skipped
+    out = table.read(spark)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cell_id").alias("n_cells"),
+    ).withColumn("n_snapshots", F.lit(len(table.snapshots())).cast("long"))
+
+
+def _stream_icelite_sql() -> str:
+    from .operators.encode import PARTITION_RES
+    from .oracles import pts_cte
+
+    cell = h3lite.encode_sql("lat", "lon", PARTITION_RES)
+    return f"""
+    WITH pts AS ({pts_cte()})
+    SELECT count(*) AS n_rows,
+           count(DISTINCT {cell}) AS n_cells,
+           CAST(2 AS BIGINT) AS n_snapshots
+    FROM pts
+    """
+
+
+_register(TEXT3, "stream_icelite_ingest", _q_stream_icelite_ingest, _stream_icelite_sql())

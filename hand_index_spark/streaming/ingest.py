@@ -48,6 +48,43 @@ def write_assignments(
     return w.start()
 
 
+def write_assignments_icelite(
+    df: DataFrame,
+    table,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Stream into the icelite TABLE layer via ``foreachBatch``: each
+    micro-batch appends one snapshot (atomic publish + per-partition
+    lineage), and the batch id is the stage fingerprint, so a replayed
+    micro-batch (foreachBatch is at-least-once after a crash) is
+    SKIPPED — exactly-once appends on top of Spark's recovery,
+    the streaming twin of the batch pipelines' idempotent resume."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        fp = f"batch-{batch_id}"
+        if table.stage_done("stream-append", fp):
+            return  # replayed micro-batch: already committed
+        table.write(
+            batch_df,
+            partition_by=partition_by,
+            stage="stream-append",
+            fingerprint=fp,
+            mode="append",
+            lineage_key="cell_id",
+        )
+
+    w = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def windowed_rollup(pages: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
     """Watermarked tumbling-window count per cell — the late-data-safe
     streaming analogue of the tile histogram."""

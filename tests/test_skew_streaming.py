@@ -175,3 +175,53 @@ def test_stateful_sessionize_state_crosses_microbatches(spark):
     assert len(merged) == len(batch)
     assert (merged.n_sessions_b == merged.n_sessions_s).all()
     assert (merged.n_events_b == merged.n_events_s).all()
+
+
+def test_stream_foreachbatch_icelite_exactly_once(spark, tmp_path):
+    """foreachBatch -> icelite: each micro-batch commits one snapshot
+    keyed by batch id; a full REPLAY (fresh stream checkpoint, same
+    table) re-offers every batch and all of them are skipped — no
+    duplicate rows (exactly-once on top of at-least-once recovery)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.streaming.ingest import (
+        assigned_stream,
+        stream_pages,
+        write_assignments_icelite,
+    )
+    from hand_index_spark.tables.icelite import IceliteTable
+
+    pages = spark.range(200).select(
+        F.concat(F.lit("https://ex.com/p"), F.col("id")).alias("url"),
+        F.col("id").alias("doc_id"),
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pages.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(f"{src}/f1")
+    pages.filter(F.col("doc_id") >= 100).coalesce(1).write.parquet(f"{src}/f2")
+    schema = spark.read.parquet(f"{src}/f1").schema
+    table = IceliteTable(str(tmp_path / "ice"), "stream_asg")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = write_assignments_icelite(
+            assigned_stream(spark, stream), table, str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    drain("ck1")
+    assert table.read(spark).count() == 200
+    snaps = table.snapshots()
+    assert len(snaps) == 2  # one snapshot per micro-batch
+    assert {s["fingerprint"] for s in snaps} == {"batch-0", "batch-1"}
+    # replay everything: fresh checkpoint -> both batches re-offered,
+    # both skipped by the fingerprint guard
+    drain("ck2")
+    assert table.read(spark).count() == 200
+    assert len(table.snapshots()) == 2
