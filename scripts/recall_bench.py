@@ -186,6 +186,24 @@ def main() -> None:
             "candidates": n_cand,
             "candidate_reduction_x": round(N_Q * (n - 1) / max(n_cand, 1), 1),
         }
+
+    # IVF (real k-means) on the same weak-structure corpus: probing the
+    # n nearest CELLS degrades gracefully where sign-LSH needs exact
+    # bucket collisions — the engine's recommended operator here
+    for n_probe in (1, 2, 4):
+        got = ann.ivf_topk(
+            emb, F.col("vec_id") < N_Q, k=10,
+            n_centroids=16, n_probe=n_probe, rounds=2,
+        ).collect()
+        mine = {}
+        for r in got:
+            mine.setdefault(r.qid, set()).add(r.vec_id)
+        n_cand = sum(len(v) for v in mine.values())  # post-rerank rows <= 10/q
+        hits = sum(len(true10[q] & mine.get(q, set())) for q in range(N_Q))
+        out["ann"][f"ivf_kmeans16_probe{n_probe}"] = {
+            "recall_at_10": round(hits / (10 * N_Q), 4),
+            "avg_cells_scanned_frac": round(n_probe / 16, 3),
+        }
     print(json.dumps(out))
     spark.stop()
 
