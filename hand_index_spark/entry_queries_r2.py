@@ -1351,3 +1351,217 @@ def _stream_icelite_sql() -> str:
 
 
 _register(TEXT3, "stream_icelite_ingest", _q_stream_icelite_ingest, _stream_icelite_sql())
+
+
+# --------------------------------------------------------------------------
+# REAL multimodal decode (round-3: functions/codecs.py implements PNG —
+# zlib + chunk framing + all five scanline filters — WAV/RIFF PCM16,
+# and a concatenated-PNG frame container from their public specs; the
+# round-2 "no codec in this environment" stubs remain only for formats
+# that truly need external codecs). Each query SYNTHESIZES payloads
+# from a closed-form pixel/sample rule inside a pandas UDF, runs the
+# real decoder, and the DuckDB oracle recomputes the decoded statistics
+# from the same arithmetic rule — a full end-to-end verification that
+# the bytes really round-trip through zlib/CRC/unfiltering.
+
+_PNG_RULE = "pixel(y, x) = (x + 2*y + doc_id) % 256, w = 8 + doc_id % 8, h = 8 + (doc_id * 3) % 8"
+
+
+def _png_payloads(df, with_seq: bool = False, n_frames: int = 3):
+    """(doc_id, payload): deterministic gray PNGs (or PNG sequences)."""
+    import pandas as _pd
+
+    from .functions import codecs as C
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if with_seq:
+                    frames = []
+                    for f in range(n_frames):
+                        w = 8 + (did + f) % 8
+                        h = 8 + ((did + f) * 3) % 8
+                        x = np.arange(w)[None, :]
+                        y = np.arange(h)[:, None]
+                        frames.append(((x + 2 * y + did + 97 * f) % 256).astype(np.uint8))
+                    rows.append((did, C.png_seq_encode(frames)))
+                else:
+                    w = 8 + did % 8
+                    h = 8 + (did * 3) % 8
+                    x = np.arange(w)[None, :]
+                    y = np.arange(h)[:, None]
+                    img = ((x + 2 * y + did) % 256).astype(np.uint8)
+                    rows.append((did, C.png_encode(img)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def _q_png_decode_stats(spark, sf_dir):
+    from .operators.multimodal import decode_image
+
+    d = _t(spark, sf_dir, "documents")
+    out = decode_image(_png_payloads(d), binary_col="payload", fake=False)
+    return out.select("doc_id", "width", "height", "mean_intensity")
+
+
+_register(
+    TEXT3,
+    "png_decode_stats",
+    _q_png_decode_stats,
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 8 AS w,
+               8 + (doc_id * 3) % 8 AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h,
+               (t1.x + 2 * t2.y + d.doc_id) % 256 AS v
+        FROM dims d, range(0, 16) t1(x), range(0, 16) t2(y)
+        WHERE t1.x < d.w AND t2.y < d.h
+    )
+    SELECT doc_id,
+           CAST(max(w) AS INTEGER) AS width,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(sum(v) AS DOUBLE) / (max(w) * max(h)) AS mean_intensity
+    FROM px GROUP BY doc_id
+    """,
+)
+
+
+def _q_png_resize_stats(spark, sf_dir):
+    from .operators.multimodal import resize_image
+
+    d = _t(spark, sf_dir, "documents")
+    return resize_image(_png_payloads(d), binary_col="payload", factor=2, fake=False)
+
+
+_register(
+    TEXT3,
+    "png_resize_stats",
+    _q_png_resize_stats,
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 8 AS w,
+               8 + (doc_id * 3) % 8 AS h
+        FROM documents
+    ), px AS (
+        -- nearest-neighbor source index: src = (out_idx * in) // out
+        SELECT d.doc_id, d.w // 2 AS ow, d.h // 2 AS oh,
+               ((t1.x * d.w) // (d.w // 2)
+                + 2 * ((t2.y * d.h) // (d.h // 2))
+                + d.doc_id) % 256 AS v
+        FROM dims d, range(0, 8) t1(x), range(0, 8) t2(y)
+        WHERE t1.x < d.w // 2 AND t2.y < d.h // 2
+    )
+    SELECT doc_id,
+           CAST(max(ow) AS INTEGER) AS out_w,
+           CAST(max(oh) AS INTEGER) AS out_h,
+           CAST(sum(v) AS DOUBLE) / (max(ow) * max(oh)) AS mean_intensity
+    FROM px GROUP BY doc_id
+    """,
+)
+
+
+def _q_png_frames_stats(spark, sf_dir):
+    from .operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_frames(
+        _png_payloads(d, with_seq=True, n_frames=3),
+        binary_col="payload",
+        n_frames=3,
+        fake=False,
+    )
+
+
+_register(
+    TEXT3,
+    "png_frames_stats",
+    _q_png_frames_stats,
+    """
+    WITH dims AS (
+        SELECT d.doc_id, f.f AS frame_idx,
+               8 + (d.doc_id + f.f) % 8 AS w,
+               8 + ((d.doc_id + f.f) * 3) % 8 AS h
+        FROM documents d, range(0, 3) f(f)
+    ), px AS (
+        SELECT doc_id, frame_idx, w, h,
+               (t1.x + 2 * t2.y + doc_id + 97 * frame_idx) % 256 AS v
+        FROM dims, range(0, 16) t1(x), range(0, 16) t2(y)
+        WHERE t1.x < w AND t2.y < h
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(max(w) AS INTEGER) AS width,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(sum(v) AS DOUBLE) / (max(w) * max(h)) AS mean_intensity
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+
+
+_WAV_N, _WAV_RATE = 256, 16000
+
+
+def _q_wav_decode_stats(spark, sf_dir):
+    import pandas as _pd
+
+    from .functions import codecs as C
+
+    d = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                t = np.arange(_WAV_N, dtype=np.int64)
+                samples = ((did * 31 + t * 17) % 65536 - 32768).astype(np.int16)
+                rows.append((did, C.wav_encode(samples, _WAV_RATE, 1)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate, _ch = C.wav_decode(bytes(blob))
+                rows.append(
+                    (
+                        int(did),
+                        int(len(s)),
+                        int(rate),
+                        float(int(s.sum(dtype=np.int64))) / len(s),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "rate", "mean_amp"]
+            )
+
+    return payloads.mapInPandas(
+        dec, schema="doc_id long, n_samples long, rate long, mean_amp double"
+    )
+
+
+_register(
+    TEXT3,
+    "wav_decode_stats",
+    _q_wav_decode_stats,
+    f"""
+    SELECT d.doc_id,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           CAST({_WAV_RATE} AS BIGINT) AS rate,
+           CAST(sum((d.doc_id * 31 + t.t * 17) % 65536 - 32768) AS DOUBLE)
+             / {_WAV_N} AS mean_amp
+    FROM documents d, range(0, {_WAV_N}) t(t)
+    GROUP BY d.doc_id
+    """,
+)

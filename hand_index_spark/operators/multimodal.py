@@ -3,12 +3,18 @@
 Design per the round brief: image/audio/video travel as ``binary``
 columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample are Arrow-batched pandas UDFs over
-``mapInPandas``. The image/audio libraries are not in this container,
-so the decode step is STUBBED — ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case it produces a
-deterministic fake (seeded from the payload bytes) with the real
-schema, partitioning, UDF signature, and batch shape, so the Spark-side
-plumbing is fully exercised and tested.
+``mapInPandas``.
+
+Round-3 upgrade: the decode step is REAL for the formats implementable
+from public specs with the stdlib — PNG (zlib + chunk framing + all
+five scanline filters, functions/codecs.py), WAV (RIFF PCM16), and a
+concatenated-PNG frame container. ``fake=True`` remains available as
+the payload-agnostic plumbing path (deterministic payload-seeded
+pseudo-decode) for formats that genuinely need an external codec
+(JPEG/H.264 & co.), and is what the html-payload driver queries use;
+the real paths are exercised by the png_*/wav_* driver queries, whose
+decoded statistics are verified end-to-end against closed-form DuckDB
+oracles (the synthetic pixel/sample rules are pure arithmetic).
 """
 
 from __future__ import annotations
@@ -28,6 +34,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ..functions import codecs as C
 
 META_SCHEMA = StructType(
     [
@@ -94,30 +102,34 @@ DECODED_SCHEMA = StructType(
 def decode_image(
     df: DataFrame, binary_col: str = "html", id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:
-    """Image decode + resize feature extraction over Arrow batches.
+    """Image decode + feature extraction over Arrow batches.
 
-    STUB: no image codec exists in this container. With ``fake=True`` a
-    deterministic payload-seeded fake flows through the real schema and
-    batch shape; otherwise NotImplementedError (clearly marked).
+    Real path: payloads are PNG bytes, decoded by the from-scratch
+    spec codec (functions/codecs.py — zlib inflate, CRC checks, all
+    five scanline filters); mean_intensity is the exact integer pixel
+    sum divided once (matches the SQL oracle bit-for-bit) and the
+    thumbnail is a real 8x8 nearest-neighbor re-encode. ``fake=True``
+    keeps the payload-agnostic plumbing path for undecodable formats.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires an image codec (PIL/libvips) which "
-                    "is not installed in this environment; pass fake=True to "
-                    "exercise the pipeline plumbing with deterministic fakes"
-                )
             rows = []
             for did, blob in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(blob or b"")
-                seed = int.from_bytes(b[:8].ljust(8, b"\0"), "little")
-                w = 16 + seed % 64
-                h = 16 + (seed >> 8) % 64
-                arr = np.frombuffer(b, dtype=np.uint8)
-                mean = float(arr.mean()) if len(arr) else 0.0
-                rows.append((int(did), int(w), int(h), mean, b[:16]))
+                if fake:
+                    seed = int.from_bytes(b[:8].ljust(8, b"\0"), "little")
+                    w = 16 + seed % 64
+                    h = 16 + (seed >> 8) % 64
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    mean = float(arr.mean()) if len(arr) else 0.0
+                    rows.append((int(did), int(w), int(h), mean, b[:16]))
+                else:
+                    img = C.png_decode(b)
+                    h, w = img.shape[:2]
+                    mean = float(int(img.sum(dtype=np.int64))) / img.size
+                    thumb = C.png_encode(C.resize_nearest(img, 8, 8))
+                    rows.append((int(did), int(w), int(h), mean, thumb))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "width", "height", "mean_intensity", "thumbnail"],
@@ -145,26 +157,30 @@ def resize_image(
 ) -> DataFrame:
     """Image resize feature-extraction over Arrow batches.
 
-    STUB like decode_image: with ``fake=True`` the "resized pixels" are
-    every ``factor``-th payload byte — deterministic, schema/batching
-    real, and expressible in the DuckDB oracle."""
+    Real path: PNG decode -> nearest-neighbor downscale by ``factor``
+    (out = in // factor, source index = (i * in) // out — the exact
+    mapping the SQL oracle reproduces) -> exact mean. ``fake=True``:
+    the payload-agnostic plumbing path (every factor-th byte)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires an image codec not present in "
-                    "this environment; pass fake=True for the plumbing path"
-                )
             rows = []
             for did, blob in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(blob or b"")
-                seed = int.from_bytes(b[:8].ljust(8, b"\0"), "little")
-                w = (16 + seed % 64) // factor
-                h = (16 + (seed >> 8) % 64) // factor
-                sub = np.frombuffer(b, dtype=np.uint8)[::factor]
-                mean = float(sub.mean()) if len(sub) else 0.0
-                rows.append((int(did), int(w), int(h), mean))
+                if fake:
+                    seed = int.from_bytes(b[:8].ljust(8, b"\0"), "little")
+                    w = (16 + seed % 64) // factor
+                    h = (16 + (seed >> 8) % 64) // factor
+                    sub = np.frombuffer(b, dtype=np.uint8)[::factor]
+                    mean = float(sub.mean()) if len(sub) else 0.0
+                    rows.append((int(did), int(w), int(h), mean))
+                else:
+                    img = C.png_decode(b)
+                    h, w = img.shape[:2]
+                    ow, oh = max(w // factor, 1), max(h // factor, 1)
+                    small = C.resize_nearest(img, ow, oh)
+                    mean = float(int(small.sum(dtype=np.int64))) / small.size
+                    rows.append((int(did), int(ow), int(oh), mean))
             yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "mean_intensity"])
 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
@@ -179,6 +195,16 @@ FRAMES_SCHEMA = StructType(
     ]
 )
 
+FRAMES_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_intensity", DoubleType(), False),
+    ]
+)
+
 
 def sample_frames(
     df: DataFrame,
@@ -187,18 +213,17 @@ def sample_frames(
     n_frames: int = 4,
     fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling over Arrow batches (one output row per
-    sampled frame). STUB: with ``fake=True`` the "frames" are evenly
-    spaced byte offsets and the frame feature is the byte value there —
-    the fan-out shape (1 row in, n rows out) is the real plumbing."""
+    """Frame sampling over Arrow batches (one output row per sampled
+    frame — the 1-row-in / n-rows-out fan-out shape).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Real path: the payload is a concatenated-PNG sequence; frame
+    boundaries are found by signature scan, ``n_frames`` evenly-spaced
+    frames are REALLY decoded and summarized. ``fake=True``: evenly
+    spaced byte offsets (payload-agnostic plumbing for true video
+    containers, which need an external codec)."""
+
+    def run_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires a video codec not present in "
-                    "this environment; pass fake=True for the plumbing path"
-                )
             rows = []
             for did, blob in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(blob or b"")
@@ -212,4 +237,27 @@ def sample_frames(
                 rows, columns=["doc_id", "frame_idx", "frame_off", "frame_byte"]
             )
 
-    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                frames = C.png_seq_decode(bytes(blob or b""))
+                k = len(frames)
+                take = (
+                    range(k)
+                    if k <= n_frames
+                    else [(i * k) // n_frames for i in range(n_frames)]
+                )
+                for i, fi in enumerate(take):
+                    img = frames[fi]
+                    h, w = img.shape[:2]
+                    mean = float(int(img.sum(dtype=np.int64))) / img.size
+                    rows.append((int(did), i, int(w), int(h), mean))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_intensity"],
+            )
+
+    if fake:
+        return df.mapInPandas(run_fake, schema=FRAMES_SCHEMA)
+    return df.mapInPandas(run_real, schema=FRAMES_REAL_SCHEMA)

@@ -1,0 +1,116 @@
+"""From-scratch multimodal codecs (functions/codecs.py): PNG/WAV
+round-trips, all five PNG scanline filters against independently
+hand-built filtered streams, malformed-input rejection, and the real
+Spark decode path."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from hand_index_spark.functions import codecs as C
+
+
+def test_png_roundtrip_all_color_types():
+    g = np.random.Generator(np.random.Philox(7))
+    for shape in [(5, 7), (5, 7, 2), (8, 3, 3), (4, 4, 4), (1, 1), (33, 17, 3)]:
+        a = g.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = C.png_decode(C.png_encode(a))
+        want = a[:, :, None] if a.ndim == 2 else a
+        assert np.array_equal(dec, want), shape
+
+
+def _encode_with_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Independent reference encoder emitting a CHOSEN filter type for
+    every scanline — exercises decode paths our own encoder (filter 0)
+    never produces."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(int)
+    rows = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, int)
+        f = np.zeros(stride, int)
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            c = prev[i - ch] if i >= ch else 0
+            b = prev[i]
+            pred = [0, a, b, (a + b) // 2, C._paeth(a, b, c)][ftype]
+            f[i] = (cur[i] - pred) & 0xFF
+        rows.append(bytes([ftype]) + bytes(f.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        C.PNG_SIG
+        + C._chunk(b"IHDR", ihdr)
+        + C._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + C._chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_five_filters():
+    g = np.random.Generator(np.random.Philox(11))
+    img = g.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for ftype in range(5):
+        assert np.array_equal(C.png_decode(_encode_with_filter(img, ftype)), img)
+
+
+def test_png_rejects_malformed():
+    a = np.zeros((4, 4), dtype=np.uint8)
+    good = C.png_encode(a)
+    with pytest.raises(ValueError, match="signature"):
+        C.png_decode(b"JUNK" + good)
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        C.png_decode(bytes(corrupt))
+
+
+def test_wav_roundtrip_and_reject():
+    g = np.random.Generator(np.random.Philox(13))
+    s = g.integers(-32768, 32768, size=1000).astype(np.int16)
+    dec, rate, ch = C.wav_decode(C.wav_encode(s, 22050, 1))
+    assert np.array_equal(dec, s) and rate == 22050 and ch == 1
+    with pytest.raises(ValueError):
+        C.wav_decode(b"not a riff file at all....")
+
+
+def test_png_seq_and_resize():
+    g = np.random.Generator(np.random.Philox(17))
+    frames = [g.integers(0, 256, size=(6, 6, 3), dtype=np.uint8) for _ in range(4)]
+    dec = C.png_seq_decode(C.png_seq_encode(frames))
+    assert len(dec) == 4 and all(np.array_equal(d, f) for d, f in zip(dec, frames))
+    r = C.resize_nearest(frames[0], 3, 2)
+    assert r.shape == (2, 3, 3)
+    # nearest mapping: src = (out_idx * in) // out
+    assert np.array_equal(r[0, 0], frames[0][0, 0])
+    assert np.array_equal(r[1, 2], frames[0][3, 4])
+
+
+def test_decode_image_real_path_spark(spark):
+    """decode_image(fake=False) really decodes PNG payloads in Arrow
+    batches: exact dims + exact integer-mean round-trip."""
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.operators.multimodal import decode_image
+
+    g = np.random.Generator(np.random.Philox(19))
+    rows = []
+    want = {}
+    for did in range(20):
+        img = g.integers(0, 256, size=(5 + did % 4, 7, 3), dtype=np.uint8)
+        rows.append((did, bytearray(C.png_encode(img))))
+        want[did] = (7, img.shape[0], float(int(img.sum(dtype=np.int64))) / img.size)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = decode_image(df, binary_col="payload", fake=False).collect()
+    assert len(got) == 20
+    for r in got:
+        w, h, mean = want[r.doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_intensity == mean
+        # the thumbnail is itself a valid PNG of the 8x8 resize
+        t = C.png_decode(bytes(r.thumbnail))
+        assert t.shape == (8, 8, 3)
