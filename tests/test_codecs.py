@@ -114,3 +114,76 @@ def test_decode_image_real_path_spark(spark):
         # the thumbnail is itself a valid PNG of the 8x8 resize
         t = C.png_decode(bytes(r.thumbnail))
         assert t.shape == (8, 8, 3)
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(w, h, ch, seed):
+    g = np.random.Generator(np.random.Philox(seed))
+    a = g.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert np.array_equal(C.png_decode(C.png_encode(a)), a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    rate=st.integers(8000, 48000),
+    ch=st.integers(1, 2),
+    seed=st.integers(0, 2**31),
+)
+def test_wav_roundtrip_property(n, rate, ch, seed):
+    g = np.random.Generator(np.random.Philox(seed))
+    s = g.integers(-32768, 32768, size=n * ch).astype(np.int16)
+    dec, r2, c2 = C.wav_decode(C.wav_encode(s, rate, ch))
+    assert np.array_equal(dec, s) and (r2, c2) == (rate, ch)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nx=st.integers(1, 4),
+    ny=st.integers(1, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_dissolve_grid_tiling_property(nx, ny, seed):
+    """Any nx x ny grid tiling with randomly jittered INTERIOR vertices
+    (shared corners move together, so edges stay vertex-matched)
+    dissolves to one ring whose exact area equals the summed member
+    areas."""
+    from hand_index_spark.geo import polygon as P
+
+    g = np.random.Generator(np.random.Philox(seed))
+    # lattice points with jitter on strictly interior vertices
+    gx = np.arange(nx + 1, dtype=float)[:, None].repeat(ny + 1, axis=1)
+    gy = np.arange(ny + 1, dtype=float)[None, :].repeat(nx + 1, axis=0)
+    jx = g.uniform(-0.3, 0.3, size=gx.shape)
+    jy = g.uniform(-0.3, 0.3, size=gy.shape)
+    jx[0, :] = jx[-1, :] = jx[:, 0] = jx[:, -1] = 0.0
+    jy[0, :] = jy[-1, :] = jy[:, 0] = jy[:, -1] = 0.0
+    gx, gy = gx + jx, gy + jy
+    tiles = [
+        np.array(
+            [
+                [gx[i, j], gy[i, j]],
+                [gx[i + 1, j], gy[i + 1, j]],
+                [gx[i + 1, j + 1], gy[i + 1, j + 1]],
+                [gx[i, j + 1], gy[i, j + 1]],
+            ]
+        )
+        for i in range(nx)
+        for j in range(ny)
+    ]
+    rings = P.dissolve_rings(tiles)
+    assert rings is not None
+    total = sum(P.ring_area(r) for r in rings)
+    member_sum = sum(abs(P.ring_area(t)) for t in tiles)
+    assert abs(total - member_sum) < 1e-9 * max(member_sum, 1.0)
