@@ -1565,3 +1565,70 @@ _register(
     GROUP BY d.doc_id
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# REAL baseline-JPEG decode: payloads are genuine JFIF streams emitted
+# by the from-scratch encoder (canonical Huffman tables + quant table
+# EMBEDDED in DHT/DQT — JPEG is self-describing, so unlike spec-H3 no
+# unverifiable external constants exist) and decoded by the full marker
+# /entropy/IDCT pipeline. The image is piecewise-constant per 8x8 block
+# (DC-only spectra) with EVEN pixel values, so with q00 = 16 the DC
+# quantization is exact (DCq = (v-128)/2, an integer — no half-integer
+# rounding boundary for float noise to flip) and every block
+# reconstructs to exactly v: the oracle simply recomputes the pixel
+# rule. DC DPCM, Huffman category coding and byte stuffing are all
+# exercised for real (block values differ block to block).
+
+
+def _q_jpeg_decode_stats(spark, sf_dir):
+    import pandas as _pd
+
+    from .functions import codecs as C
+    from .operators.multimodal import decode_image
+
+    d = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nbx = 1 + did % 3
+                nby = 1 + (did // 3) % 3
+                bx = np.arange(nbx)[None, :]
+                by = np.arange(nby)[:, None]
+                vals = (2 * ((bx + 3 * by + did) % 128)).astype(np.uint8)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                rows.append((did, C.jpeg_encode(img)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+    out = decode_image(payloads, binary_col="payload", fake=False)
+    return out.select("doc_id", "width", "height", "mean_intensity")
+
+
+_register(
+    TEXT3,
+    "jpeg_decode_stats",
+    _q_jpeg_decode_stats,
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 3 AS nbx,
+               1 + (doc_id // 3) % 3 AS nby
+        FROM documents
+    ), blk AS (
+        SELECT d.doc_id, d.nbx, d.nby,
+               2 * ((t1.bx + 3 * t2.by + d.doc_id) % 128) AS rec
+        FROM dims d, range(0, 3) t1(bx), range(0, 3) t2(by)
+        WHERE t1.bx < d.nbx AND t2.by < d.nby
+    )
+    SELECT doc_id,
+           CAST(max(nbx) * 8 AS INTEGER) AS width,
+           CAST(max(nby) * 8 AS INTEGER) AS height,
+           CAST(sum(rec) * 64 AS DOUBLE) / (max(nbx) * 8 * max(nby) * 8)
+             AS mean_intensity
+    FROM blk GROUP BY doc_id
+    """,
+)

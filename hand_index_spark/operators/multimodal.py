@@ -7,14 +7,17 @@ resize / frame-sample are Arrow-batched pandas UDFs over
 
 Round-3 upgrade: the decode step is REAL for the formats implementable
 from public specs with the stdlib — PNG (zlib + chunk framing + all
-five scanline filters, functions/codecs.py), WAV (RIFF PCM16), and a
-concatenated-PNG frame container. ``fake=True`` remains available as
-the payload-agnostic plumbing path (deterministic payload-seeded
-pseudo-decode) for formats that genuinely need an external codec
-(JPEG/H.264 & co.), and is what the html-payload driver queries use;
-the real paths are exercised by the png_*/wav_* driver queries, whose
-decoded statistics are verified end-to-end against closed-form DuckDB
-oracles (the synthetic pixel/sample rules are pure arithmetic).
+five scanline filters), baseline JPEG (markers, canonical Huffman,
+DPCM, dequant + IDCT — functions/codecs.py), WAV (RIFF PCM16), and a
+concatenated-PNG frame container; decode_image sniffs the magic and
+dispatches. ``fake=True`` remains available as the payload-agnostic
+plumbing path (deterministic payload-seeded pseudo-decode) for formats
+that genuinely need an external codec (H.264 & co. video containers,
+progressive/subsampled JPEG), and is what the html-payload driver
+queries use; the real paths are exercised by the png_*/jpeg_*/wav_*
+driver queries, whose decoded statistics are verified end-to-end
+against closed-form DuckDB oracles (the synthetic pixel/sample rules
+are pure arithmetic).
 """
 
 from __future__ import annotations
@@ -104,9 +107,9 @@ def decode_image(
 ) -> DataFrame:
     """Image decode + feature extraction over Arrow batches.
 
-    Real path: payloads are PNG bytes, decoded by the from-scratch
-    spec codec (functions/codecs.py — zlib inflate, CRC checks, all
-    five scanline filters); mean_intensity is the exact integer pixel
+    Real path: payloads are PNG or baseline JPEG bytes, decoded by the
+    from-scratch spec codecs (functions/codecs.py, format-sniffed);
+    mean_intensity is the exact integer pixel
     sum divided once (matches the SQL oracle bit-for-bit) and the
     thumbnail is a real 8x8 nearest-neighbor re-encode. ``fake=True``
     keeps the payload-agnostic plumbing path for undecodable formats.
@@ -125,7 +128,7 @@ def decode_image(
                     mean = float(arr.mean()) if len(arr) else 0.0
                     rows.append((int(did), int(w), int(h), mean, b[:16]))
                 else:
-                    img = C.png_decode(b)
+                    img = C.decode_any_image(b)
                     h, w = img.shape[:2]
                     mean = float(int(img.sum(dtype=np.int64))) / img.size
                     thumb = C.png_encode(C.resize_nearest(img, 8, 8))
@@ -175,7 +178,7 @@ def resize_image(
                     mean = float(sub.mean()) if len(sub) else 0.0
                     rows.append((int(did), int(w), int(h), mean))
                 else:
-                    img = C.png_decode(b)
+                    img = C.decode_any_image(b)
                     h, w = img.shape[:2]
                     ow, oh = max(w // factor, 1), max(h // factor, 1)
                     small = C.resize_nearest(img, ow, oh)

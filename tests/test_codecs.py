@@ -187,3 +187,59 @@ def test_dissolve_grid_tiling_property(nx, ny, seed):
     total = sum(P.ring_area(r) for r in rings)
     member_sum = sum(abs(P.ring_area(t)) for t in tiles)
     assert abs(total - member_sum) < 1e-9 * max(member_sum, 1.0)
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def test_jpeg_piecewise_constant_blocks_closed_form():
+    """Every 8x8-constant block reconstructs per the exact quantization
+    closed form (q00=16): rec = clip(2*floor((v-128)/2 + 0.5) + 128).
+    Even values round-trip exactly. Exercises DC DPCM + Huffman +
+    byte stuffing with genuinely varying block values."""
+    g = np.random.Generator(np.random.Philox(29))
+    for _ in range(3):
+        nbx, nby = int(g.integers(1, 5)), int(g.integers(1, 5))
+        vals = g.integers(0, 128, size=(nby, nbx)) * 2  # even -> exact
+        img = np.kron(vals, np.ones((8, 8), int)).astype(np.uint8)
+        dec = C.jpeg_decode(C.jpeg_encode(img))[:, :, 0]
+        assert np.array_equal(dec.astype(int), img.astype(int))
+
+
+def test_jpeg_gradient_tolerance_and_shapes():
+    x = np.arange(40)
+    y = np.arange(24)
+    img = ((x[None, :] + 2 * y[:, None]) % 200 + 20).astype(np.uint8)
+    dec = C.jpeg_decode(C.jpeg_encode(img))[:, :, 0]
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 24
+    # non-multiple-of-8 dims survive pad/crop
+    d2 = C.jpeg_decode(C.jpeg_encode(img[:19, :37]))
+    assert d2.shape == (19, 37, 1)
+    # RGB 4:4:4
+    rgb = np.stack([img, img[::-1], img // 2], axis=-1).astype(np.uint8)
+    drgb = C.jpeg_decode(C.jpeg_encode(rgb))
+    assert drgb.shape == rgb.shape
+    assert np.abs(drgb.astype(int) - rgb.astype(int)).max() <= 32
+
+
+def test_jpeg_rejects_malformed():
+    with pytest.raises(ValueError, match="SOI"):
+        C.jpeg_decode(b"nope")
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    good = bytearray(C.jpeg_encode(img))
+    # progressive SOF2 must be rejected, not mis-decoded
+    sof_at = bytes(good).find(b"\xff\xc0")
+    good[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        C.jpeg_decode(bytes(good))
+
+
+def test_decode_any_image_sniffs_format():
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    p = C.decode_any_image(C.png_encode(img))
+    j = C.decode_any_image(C.jpeg_encode(img))
+    assert p.shape == j.shape == (8, 8, 1)
+    assert np.array_equal(p[:, :, 0], img)
+    assert np.array_equal(j[:, :, 0], img)  # 200 is even -> exact
+    with pytest.raises(ValueError, match="unrecognized"):
+        C.decode_any_image(b"GIF89a...")
