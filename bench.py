@@ -137,6 +137,11 @@ def main() -> None:
         # internal materialization (dedup_base/salted localCheckpoints)
         # are measured end-to-end, not from a cached checkpoint
         def run_once() -> float:
+            # nudge the ContextCleaner first: rebuilt-per-iteration
+            # localCheckpoints from the PREVIOUS run are unreferenced
+            # but only freed on GC — without this their blocks pile up
+            # in executor storage and the measurement drifts upward
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
