@@ -1632,3 +1632,62 @@ _register(
     FROM blk GROUP BY doc_id
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Date/time function surface (SURVEY §2.7 noted the reference has none;
+# the rebuild's warc_ts column makes these table stakes): truncation,
+# component extraction, day-of-week, date arithmetic — grouped rollup
+# with every value oracled.
+
+
+def _q_datetime_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+            F.dayofweek("ts").alias("dow"),  # 1 = Sunday
+            F.hour("ts").alias("hh"),
+            F.datediff(F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")).alias(
+                "days_since_start"
+            ),
+            F.date_format(F.col("ts") + F.expr("INTERVAL 36 HOURS"), "yyyy-MM-dd HH").alias(
+                "ts_plus_36h"
+            ),
+            "value",
+        )
+        .groupBy("week", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("hh").cast("long").alias("first_hour"),
+            F.max("days_since_start").cast("long").alias("max_day"),
+            F.max("ts_plus_36h").alias("latest_shifted"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_register(
+    TEXT3,
+    "datetime_functions",
+    _q_datetime_functions,
+    """
+    WITH e AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               dayofweek(ts) + 1 AS dow,  -- DuckDB: 0=Sunday; Spark: 1=Sunday
+               hour(ts) AS hh,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS days_since_start,
+               strftime(ts + INTERVAL 36 HOUR, '%Y-%m-%d %H') AS ts_plus_36h,
+               value
+        FROM events
+    )
+    SELECT week, CAST(dow AS INTEGER) AS dow,
+           count(*) AS n,
+           CAST(min(hh) AS BIGINT) AS first_hour,
+           CAST(max(days_since_start) AS BIGINT) AS max_day,
+           max(ts_plus_36h) AS latest_shifted,
+           round(sum(value), 4) AS sum_value
+    FROM e GROUP BY week, dow
+    """,
+)
