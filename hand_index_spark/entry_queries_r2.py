@@ -1691,3 +1691,47 @@ _register(
     FROM e GROUP BY week, dow
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# JSON function surface: the events table's ``props`` column is a JSON
+# string; extract typed values (get_json_object / json path), derive a
+# schema'd struct (from_json), and aggregate — all value-oracled
+# against DuckDB's JSON functions.
+
+
+def _q_json_extract(spark, sf_dir):
+    from pyspark.sql.types import StructType as _St
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    parsed = ev.select(
+        "event_type",
+        k.alias("k"),
+        F.from_json("props", "k long").getField("k").alias("k2"),
+    )
+    return (
+        parsed.filter(F.col("k") == F.col("k2"))  # both parse paths agree
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+_register(
+    TEXT3,
+    "json_extract",
+    _q_json_extract,
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k,
+           count(DISTINCT CAST(props ->> 'k' AS BIGINT)) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
