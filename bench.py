@@ -12,6 +12,31 @@ uses the same arithmetic geotag rule, BASELINE.json metric).
 Execution is forced with the noop sink so measured time includes full
 materialization of every column (count() alone would let Catalyst prune
 the work).
+
+WEATHER-NORMALIZED PROTOCOL (VERDICT r3 item 1). This VM demand-pages
+guest memory: identical code measured 0.478 s and 3.125 s minutes apart
+on a pure-Catalyst query while a 64 MB first-touch probe swung
+33->172 ms (BENCH/NOTES.md). A single median therefore cannot detect a
+real 2x regression. Per query we now:
+  * warm until run-to-run delta <= 20% (cold runs are fault-dominated),
+  * then sample until K samples land in a CLEAN window (first-touch
+    probe <= CLEAN_PROBE_MS immediately before the sample), up to a
+    sample budget,
+  * report the best-window median plus the per-sample probe values it
+    was taken in ("queries_weather"), so every number carries its own
+    weather tag,
+  * compare clean-window numbers against BENCH/best_window_ref.json
+    (previous round's clean-window values) and emit a per-query ratio +
+    pass/fail regression verdict — only for queries whose current
+    sample set is clean (comparing a host-bound number would re-create
+    the noise this protocol exists to remove).
+
+BENCH-HARNESS CONFOUND FIX (VERDICT r3 item 2): the 1M-row dedup
+corpus used to be checkpointed eagerly in build_queries, so its
+resident executor blocks bled into every other query's measurement.
+It is now built LAZILY in a per-query setup hook that runs (untimed)
+immediately before the dedup query — which is ordered LAST — so no
+other query is timed with the corpus resident.
 """
 
 from __future__ import annotations
@@ -25,9 +50,24 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 4_000_000))
+# probe <= this => the host is in a healthy paging window (10-40 ms
+# measured healthy range; hundreds of ms = demand-paging storm)
+CLEAN_PROBE_MS = float(os.environ.get("SPARK_GRAFT_CLEAN_PROBE_MS", 40.0))
+TARGET_CLEAN_SAMPLES = 3
+MAX_SAMPLES = int(os.environ.get("SPARK_GRAFT_MAX_SAMPLES", 10))
+# regression verdict: clean-window median worse than ref by more than
+# this ratio => fail (VERDICT asks ~1.3x re-land; 1.5 leaves margin for
+# residual same-window noise)
+REGRESSION_FAIL_RATIO = 1.5
+REF_PATH = os.path.join(ROOT, "BENCH", "best_window_ref.json")
 
 
 def build_queries(spark, sf_dir):
+    """name -> (setup_or_None, fn). setup runs UNTIMED immediately
+    before that query's timed loop and returns a context object passed
+    to fn — used by dedup to build its 1M-row corpus lazily (so the
+    corpus checkpoint blocks are never resident while other queries are
+    measured). Dict order is execution order; dedup is last."""
     from pyspark.sql import functions as F
 
     from hand_index_spark.operators import assign as A
@@ -39,14 +79,14 @@ def build_queries(spark, sf_dir):
         df = spark.range(n).withColumnRenamed("id", "doc_id")
         return E.with_geotag(df)
 
-    def q_assign_synth(_spark, _sf):
+    def q_assign_synth(_ctx):
         """Flagship: geotag -> cells -> fused (PIP + kNN + S2), n=SYNTH_ROWS.
         One ArrowEvalPython stage total."""
         pts = synth_points(SYNTH_ROWS)
         pts = E.with_cells(pts)
         return A.assign_tiles(pts, spark, pip="convex", with_s2=True)
 
-    def q_cells_encode_synth(_spark, _sf):
+    def q_cells_encode_synth(_ctx):
         """Encode-only hot path (pure Catalyst, whole-stage codegen)."""
         return E.with_cells(synth_points(SYNTH_ROWS))
 
@@ -54,28 +94,18 @@ def build_queries(spark, sf_dir):
     # was benchmarked here and measured ~20x SLOWER than the Arrow-UDF
     # kernel (26.3s vs 1.3s at 4M rows): its ~5k-node expression tree
     # exceeds JVM codegen budgets and drops to interpreted per-row
-    # evaluation, while the NumPy kernel shares subexpressions across
-    # the batch explicitly. Kept as a correctness cross-check
-    # (tests/test_assign_catalyst.py), excluded from the headline.
+    # evaluation. Kept as a correctness cross-check only.
 
-    def q_assign_documents(_spark, _sf):
+    def q_assign_documents(_ctx):
         return assignments_full(spark, sf_dir)
 
-    def q_tile_histogram(_spark, _sf):
+    def q_tile_histogram(_ctx):
         return (
             assignments_full(spark, sf_dir)
             .groupBy("tile_id", "method")
             .agg(F.count(F.lit(1)).alias("n_pages"))
         )
 
-    # LLM-pipeline dedup path (VERDICT r2 item 6): LSH candidates +
-    # exact Jaccard over a 1M-row synthetic near-dup corpus — the
-    # corpus-proportional passes of dedup_clusters (signatures, band
-    # buckets, capped self-join, verify). The input corpus is
-    # checkpointed once OUTSIDE the timed region (datagen is not the
-    # engine); the engine's own dedup_base/salted materializations run
-    # INSIDE every timed iteration (build_queries callables are
-    # re-invoked per run below).
     from hand_index_spark.operators.dedup import (
         capped_candidate_pairs,
         dedup_base,
@@ -84,22 +114,34 @@ def build_queries(spark, sf_dir):
     from hand_index_spark.tables.datagen import synth_neardup_docs
 
     dedup_rows = int(os.environ.get("SPARK_GRAFT_DEDUP_BENCH_ROWS", 1_000_000))
-    corpus = synth_neardup_docs(spark, dedup_rows).localCheckpoint(eager=True)
 
-    def q_dedup_pairs_1m(_spark, _sf):
+    def setup_dedup():
+        """Untimed: synthesize + checkpoint the near-dup corpus (datagen
+        is not the engine). Runs right before the dedup timed loop —
+        after every other query has been measured."""
+        t0 = time.perf_counter()
+        corpus = synth_neardup_docs(spark, dedup_rows).localCheckpoint(eager=True)
+        return {"corpus": corpus, "datagen_sec": round(time.perf_counter() - t0, 3),
+                "rows": dedup_rows}
+
+    def q_dedup_pairs_1m(ctx):
+        corpus = ctx["corpus"]
         b = dedup_base(corpus)
         return jaccard_refine(
             corpus, capped_candidate_pairs(base=b), threshold=0.2, base=b
         )
 
+    def wrap(fn):
+        return (None, lambda ctx: fn(ctx))
+
     return {
-        "assign_synth": q_assign_synth,
-        "cells_encode_synth": q_cells_encode_synth,
-        "assign_documents": q_assign_documents,
-        "tile_histogram": q_tile_histogram,
-        "pricing_summary": RELATIONAL["pricing_summary"],
-        "join_left_3way": RELATIONAL["join_left_3way"],
-        "dedup_pairs_1m": q_dedup_pairs_1m,
+        "assign_synth": wrap(q_assign_synth),
+        "cells_encode_synth": wrap(q_cells_encode_synth),
+        "assign_documents": wrap(q_assign_documents),
+        "tile_histogram": wrap(q_tile_histogram),
+        "pricing_summary": (None, lambda _c: RELATIONAL["pricing_summary"](spark, sf_dir)),
+        "join_left_3way": (None, lambda _c: RELATIONAL["join_left_3way"](spark, sf_dir)),
+        "dedup_pairs_1m": (setup_dedup, q_dedup_pairs_1m),
     }
 
 
@@ -107,7 +149,7 @@ def _page_touch_ms() -> float:
     """Host-weather probe: wall time to first-touch 64 MB of fresh pages.
     This VM demand-pages guest memory with ~0.5-1 ms faults in bad
     windows (BENCH/NOTES.md) — identical jobs vary 5x with this number,
-    so every bench line records it; read results accordingly."""
+    so every SAMPLE records it; read results accordingly."""
     import numpy as np
 
     t0 = time.perf_counter()
@@ -116,6 +158,138 @@ def _page_touch_ms() -> float:
     dt = (time.perf_counter() - t0) * 1000.0
     del a
     return round(dt, 1)
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def time_query(spark, run_once):
+    """Weather-gated sampling. Returns (best_window_sec, info dict).
+
+    Every sample is (probe_ms, sec) with the probe taken immediately
+    before the run. Clean = probe <= CLEAN_PROBE_MS. Stop at
+    TARGET_CLEAN_SAMPLES clean samples or MAX_SAMPLES total; the
+    best-window median is over the clean set when it is non-empty,
+    else over the 3 lowest-probe samples (tagged clean=false)."""
+
+    def one_sample():
+        # nudge the ContextCleaner first: rebuilt-per-iteration
+        # localCheckpoints from the PREVIOUS run are unreferenced but
+        # only freed on GC — without this their blocks pile up in
+        # executor storage and the measurement drifts upward
+        spark.sparkContext._jvm.System.gc()
+        probe = _page_touch_ms()
+        t0 = time.perf_counter()
+        run_once()
+        return probe, time.perf_counter() - t0
+
+    # warm until stable (this demand-paged VM re-faults worker heaps;
+    # cold runs are dominated by kernel time)
+    prev = None
+    for _ in range(5):
+        _, cur = one_sample()
+        if prev is not None and abs(cur - prev) <= 0.2 * prev:
+            break
+        prev = cur
+
+    samples: list[tuple[float, float]] = []
+    clean: list[tuple[float, float]] = []
+    while len(clean) < TARGET_CLEAN_SAMPLES and len(samples) < MAX_SAMPLES:
+        s = one_sample()
+        samples.append(s)
+        if s[0] <= CLEAN_PROBE_MS:
+            clean.append(s)
+    window = clean if clean else sorted(samples, key=lambda s: s[0])[:3]
+    best = round(_median([sec for _, sec in window]), 3)
+    info = {
+        "clean": bool(clean),
+        "probe_ms": [p for p, _ in window],
+        "all_samples": [[p, round(sec, 3)] for p, sec in samples],
+    }
+    return best, info
+
+
+def dedup_stage_timings(spark, corpus):
+    """VERDICT r3 item 3: per-stage seconds for the dedup pairs path
+    (base scan / signatures / band+salt buckets / capped self-join /
+    exact-Jaccard verify), each with its own weather probe, so a swing
+    in the headline scalar can be localized to shuffle vs checkpoint IO
+    vs host weather. Single pass per stage (diagnostic, not a median)."""
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.operators import dedup as D
+
+    stages: dict[str, object] = {}
+
+    def timed(name, thunk):
+        spark.sparkContext._jvm.System.gc()
+        probe = _page_touch_ms()
+        t0 = time.perf_counter()
+        out = thunk()
+        stages[name] = {"sec": round(time.perf_counter() - t0, 3), "probe_ms": probe}
+        return out
+
+    base = timed("base_scan", lambda: D.dedup_base(corpus))
+    reps = base.join(
+        base.groupBy("sha").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    sig = timed(
+        "signatures",
+        lambda: D._signatures_from_sets(reps, "doc_id", D.PERMS).localCheckpoint(
+            eager=True
+        ),
+    )
+    salted = timed("band_buckets", lambda: D.salted_buckets_from_sig(sig))
+    pairs = timed(
+        "self_join",
+        lambda: D.pairs_from_salted(salted).localCheckpoint(eager=True),
+    )
+    n_pairs = pairs.count()
+    timed(
+        "verify",
+        lambda: D.jaccard_refine(corpus, pairs, threshold=0.2, base=base)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    total = sum(v["sec"] for v in stages.values())
+    stages["candidate_pairs"] = n_pairs
+    stages["total_sec"] = round(total, 3)
+    return stages
+
+
+def regression_verdict(timings, weather, config):
+    """Compare clean-window medians against the previous round's
+    clean-window reference (BENCH/best_window_ref.json). Only queries
+    whose CURRENT window is clean are judged (a host-bound number says
+    nothing about the engine), and only when the run config (sf, cpus,
+    synth rows) matches the reference's — cross-scale ratios are
+    meaningless. ratio > REGRESSION_FAIL_RATIO => fail."""
+    if not os.path.exists(REF_PATH):
+        return {"ref": None, "pass": None, "per_query": {}}
+    with open(REF_PATH) as f:
+        ref = json.load(f)
+    ref_cfg = ref.get("config")
+    if ref_cfg is not None and ref_cfg != config:
+        return {"ref": ref.get("source"), "pass": None, "per_query": {},
+                "skipped": f"config mismatch: run {config} vs ref {ref_cfg}"}
+    per_query = {}
+    ok = True
+    for name, sec in timings.items():
+        rsec = ref.get("queries", {}).get(name)
+        if rsec is None or not weather[name]["clean"]:
+            per_query[name] = {"ratio": None, "judged": False}
+            continue
+        ratio = round(sec / rsec, 2)
+        judged_pass = ratio <= REGRESSION_FAIL_RATIO
+        ok = ok and judged_pass
+        per_query[name] = {"ratio": ratio, "judged": True, "pass": judged_pass}
+    return {"ref": ref.get("source"), "pass": ok, "per_query": per_query}
 
 
 def main() -> None:
@@ -132,30 +306,20 @@ def main() -> None:
 
     queries = build_queries(spark, sf_dir)
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        # the DataFrame is REBUILT every iteration so queries with eager
-        # internal materialization (dedup_base/salted localCheckpoints)
-        # are measured end-to-end, not from a cached checkpoint
-        def run_once() -> float:
-            # nudge the ContextCleaner first: rebuilt-per-iteration
-            # localCheckpoints from the PREVIOUS run are unreferenced
-            # but only freed on GC — without this their blocks pile up
-            # in executor storage and the measurement drifts upward
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
+    weather: dict[str, dict] = {}
+    dedup_ctx = None
+    for name, (setup, fn) in queries.items():
+        ctx = setup() if setup is not None else None
+        if name == "dedup_pairs_1m":
+            dedup_ctx = ctx
 
-        # warm until stable (this demand-paged VM re-faults worker heaps;
-        # cold runs are dominated by kernel time), then median of 3
-        prev = None
-        for _ in range(5):
-            cur = run_once()
-            if prev is not None and abs(cur - prev) <= 0.2 * prev:
-                break
-            prev = cur
-        runs = [run_once() for _ in range(3)]
-        timings[name] = round(sorted(runs)[1], 3)
+        def run_once(fn=fn, ctx=ctx) -> None:
+            # the DataFrame is REBUILT every run so queries with eager
+            # internal materialization (dedup_base/salted
+            # localCheckpoints) are measured end-to-end
+            fn(ctx).write.format("noop").mode("overwrite").save()
+
+        timings[name], weather[name] = time_query(spark, run_once)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     total = round(sum(timings.values()), 3)
@@ -168,7 +332,21 @@ def main() -> None:
         "assign_synth_rows": SYNTH_ROWS,
         "assign_rows_per_sec": round(SYNTH_ROWS / max(timings["assign_synth"], 1e-9)),
         "cpus": cpus,
+        # per-query weather tags: clean=true means every sample in the
+        # reported window had first-touch probe <= CLEAN_PROBE_MS
+        "queries_weather": weather,
+        "clean_probe_ms_threshold": CLEAN_PROBE_MS,
+        "regression": regression_verdict(
+            timings, weather,
+            {"sf": sf, "cpus": cpus, "synth_rows": SYNTH_ROWS},
+        ),
     }
+    if dedup_ctx is not None:
+        stages = dedup_stage_timings(spark, dedup_ctx["corpus"])
+        stages["corpus_rows"] = dedup_ctx["rows"]
+        stages["corpus_datagen_sec_untimed"] = dedup_ctx["datagen_sec"]
+        stages["rows_per_sec"] = round(dedup_ctx["rows"] / max(stages["total_sec"], 1e-9))
+        out["dedup_pairs_1m_stages"] = stages
     # page-fault weather bookends: ~10-30 ms = healthy host, hundreds of
     # ms to seconds = the numbers above are host-bound, not engine-bound
     out["page_touch_ms_before"] = weather0
