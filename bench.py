@@ -160,6 +160,22 @@ def _page_touch_ms() -> float:
     return round(dt, 1)
 
 
+def _cpu_probe_mops() -> float:
+    """Second weather dimension: single-thread interpreter throughput
+    (M add-iterations/s). The page-touch probe catches demand-paging
+    storms but NOT a persistently throttled/oversubscribed CPU regime —
+    r4 measured every shared query 2-4x slower than r2's clean-window
+    values at clean paging probes on FROZEN code (encode.py untouched
+    since r1), while this probe read ~7 Mops. Recording it per query
+    makes that host state visible instead of mis-reading it as an
+    engine regression."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(500_000):
+        s += i
+    return round(0.5 / (time.perf_counter() - t0), 1)
+
+
 def _median(xs):
     s = sorted(xs)
     n = len(s)
@@ -208,6 +224,7 @@ def time_query(spark, run_once):
         "clean": bool(clean),
         "probe_ms": [p for p, _ in window],
         "all_samples": [[p, round(sec, 3)] for p, sec in samples],
+        "cpu_mops": _cpu_probe_mops(),
     }
     return best, info
 
