@@ -690,3 +690,10 @@ from .entry_queries_r2 import GEO3, ORACLES3, TEXT3  # noqa: E402
 GEO_QUERIES.update(GEO3)
 TEXTOPS.update(TEXT3)
 ORACLES.update(ORACLES3)
+
+# batch 4 (round 4): large-dim join assignment + persisted ANN pipeline
+from .entry_queries_r4 import GEO4, ORACLES4, TEXT4  # noqa: E402
+
+GEO_QUERIES.update(GEO4)
+TEXTOPS.update(TEXT4)
+ORACLES.update(ORACLES4)
