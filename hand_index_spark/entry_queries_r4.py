@@ -47,3 +47,44 @@ def _q_tile_assign_joined(spark, sf_dir):
 
 
 _register(GEO4, "tile_assign_joined", _q_tile_assign_joined, oracles.tile_assign_sql())
+
+
+# --------------------------------------------------------------------------
+# Persisted ANN index (pipelines/ann_index.py): build the icelite-staged
+# IVF index (vectors/centroids/assignments), then answer top-k from the
+# tables alone — must equal the in-query ivf_topk math exactly, so it
+# shares ann_ivf_topk's oracle (same params).
+
+_IVF_K, _IVF_PROBE, _IVF_CENTS, _IVF_ROUNDS = 3, 2, 16, 2
+
+
+def _q_ann_ivf_indexed(spark, sf_dir):
+    """IVF top-k served from the persisted index: the corpus is scanned
+    once at build, queries read only the materialized tables."""
+    from pyspark.sql import functions as F
+
+    from .entry_queries_r2 import _fresh_dir
+    from .pipelines.ann_index import build_ann_index, ivf_topk_indexed
+
+    root = _fresh_dir("annidx_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_ann_index(
+        spark, emb, root, fingerprint="q1",
+        n_centroids=_IVF_CENTS, rounds=_IVF_ROUNDS,
+    )
+    return ivf_topk_indexed(
+        spark, root, F.col("vec_id") < 5, k=_IVF_K, n_probe=_IVF_PROBE
+    )
+
+
+from .operators.ann import ivf_oracle_sql as _ivf_oracle_sql  # noqa: E402
+
+_register(
+    TEXT4,
+    "ann_ivf_indexed",
+    _q_ann_ivf_indexed,
+    _ivf_oracle_sql(
+        "vec_id < 5", k=_IVF_K, n_centroids=_IVF_CENTS,
+        n_probe=_IVF_PROBE, rounds=_IVF_ROUNDS, dim=64,
+    ),
+)

@@ -1,0 +1,106 @@
+"""Persisted ANN index pipeline (VERDICT r3 item 7): the icelite-staged
+production form of IVF search, mirroring pipelines/dedup_corpus.py.
+
+``operators.ann.ivf_topk`` re-runs the Lloyd quantizer and re-normalizes
+the corpus on every query — right for a one-shot driver query, wrong
+for a serving path at 10^9+ vectors. The pipeline persists each stage
+as an icelite table (atomic publish, per-partition lineage, idempotent
+fingerprint resume — same contract as the dedup/ingest pipelines):
+
+  stage "vectors":     embeddings -> vectors(vec_id, e, norm) — the
+                       normalized corpus, computed once
+  stage "centroids":   k-means output (cid, ce, cn) after the fixed
+                       deterministic Lloyd rounds — the coarse quantizer
+  stage "assignments": (vec_id, cell) nearest-centroid inverted lists
+
+Queries (:func:`ivf_topk_indexed`) read the three tables and do ONLY
+probe + re-rank: the corpus is never re-scanned, the quantizer never
+re-trained. Scan accounting at scale: raw embeddings are read exactly
+once (stage "vectors"); every Lloyd round and every query reads the
+materialized tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import ann as A
+from ..tables.icelite import IceliteTable
+
+
+def build_ann_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_root: str,
+    fingerprint: str = "v1",
+    n_centroids: int = 16,
+    rounds: int = 2,
+) -> dict:
+    """Run (or resume) the index build; returns {stage: snapshot}.
+    Completed stages are fingerprint-matched and skipped, so a mid-build
+    crash resumes without re-reading the raw embeddings."""
+    snaps: dict[str, dict] = {}
+
+    vec_t = IceliteTable(out_root, "vectors")
+    if not vec_t.stage_done("vectors", fingerprint):
+        base = A.with_vectors(emb).select("vec_id", "e", "norm")
+        snaps["vectors"] = vec_t.write(
+            base, stage="vectors", fingerprint=fingerprint, lineage_key="vec_id"
+        )
+
+    cent_t = IceliteTable(out_root, "centroids")
+    if not cent_t.stage_done("centroids", fingerprint):
+        base = vec_t.read(spark)
+        cents = base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("e").alias("ce"),
+            F.col("norm").alias("cn"),
+        )
+        for _ in range(rounds):
+            cents = A._lloyd_update(base, cents)
+        snaps["centroids"] = cent_t.write(
+            cents, stage="centroids", fingerprint=fingerprint, lineage_key="cid"
+        )
+
+    asg_t = IceliteTable(out_root, "assignments")
+    if not asg_t.stage_done("assignments", fingerprint):
+        base = vec_t.read(spark)
+        cents = cent_t.read(spark)
+        cells = (
+            A._rank_cells(base, cents)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell"))
+        )
+        snaps["assignments"] = asg_t.write(
+            cells, stage="assignments", fingerprint=fingerprint, lineage_key="cell"
+        )
+    return snaps
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    out_root: str,
+    query_pred: Column,
+    k: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search against the PERSISTED index: probe the query rows'
+    ``n_probe`` nearest cells, equi-join the inverted lists, exact
+    re-rank. Bit-compatible with operators.ann.ivf_topk run at the same
+    (n_centroids, rounds) — the driver oracle is shared verbatim."""
+    base = IceliteTable(out_root, "vectors").read(spark)
+    cents = IceliteTable(out_root, "centroids").read(spark)
+    cells = IceliteTable(out_root, "assignments").read(spark)
+    probes = (
+        A._rank_cells(base.filter(query_pred), cents)
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("pcell"))
+    )
+    cand = (
+        probes.join(cells, F.col("pcell") == F.col("cell"))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    return A.exact_rerank(base, cand, query_pred, k)
