@@ -225,3 +225,98 @@ def test_stream_foreachbatch_icelite_exactly_once(spark, tmp_path):
     drain("ck2")
     assert table.read(spark).count() == 200
     assert len(table.snapshots()) == 2
+
+
+def test_stream_icelite_exactly_once_under_midwrite_crash(
+    spark, tmp_path, monkeypatch
+):
+    """Chaos variant (VERDICT r3 item 9): kill the foreachBatch sink
+    MID-WRITE at both dangerous points and resume from the SAME stream
+    checkpoint (Spark's actual recovery path, not a fresh replay):
+
+    * crash BEFORE the icelite commit — the batch must leave no visible
+      rows (atomic publish) and re-run cleanly on restart;
+    * crash AFTER the commit but BEFORE the stream checkpoint records
+      the batch — restart re-offers the batch (at-least-once) and the
+      fingerprint guard must skip it (no duplicate rows).
+
+    After each recovery: exact row count, one snapshot per batch,
+    unique sequential batch fingerprints — a consistent chain.
+    """
+    import os
+
+    from hand_index_spark.streaming.ingest import (
+        assigned_stream,
+        write_assignments_icelite,
+    )
+    from hand_index_spark.tables.icelite import IceliteTable
+
+    pages = spark.range(200).select(
+        F.concat(F.lit("https://ex.com/p"), F.col("id")).alias("url"),
+        F.col("id").alias("doc_id"),
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pages.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(f"{src}/f1")
+    pages.filter(F.col("doc_id") >= 100).coalesce(1).write.parquet(f"{src}/f2")
+    schema = spark.read.parquet(f"{src}/f1").schema
+    table = IceliteTable(str(tmp_path / "ice"), "chaos_asg")
+    ckpt = str(tmp_path / "ck")  # ONE checkpoint across crash + recovery
+
+    orig_write = IceliteTable.write
+    mode = {"crash": None, "fired": False}
+
+    def flaky_write(self, df, **kw):
+        if mode["crash"] == "before" and kw.get("fingerprint") == "batch-1" and not mode["fired"]:
+            mode["fired"] = True
+            raise RuntimeError("injected crash BEFORE icelite commit")
+        snap = orig_write(self, df, **kw)
+        if mode["crash"] == "after" and kw.get("fingerprint") == "batch-1" and not mode["fired"]:
+            mode["fired"] = True
+            raise RuntimeError("injected crash AFTER commit, before stream checkpoint")
+        return snap
+
+    monkeypatch.setattr(IceliteTable, "write", flaky_write)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = write_assignments_icelite(assigned_stream(spark, stream), table, ckpt)
+        q.awaitTermination()
+
+    # ---- crash BEFORE commit: batch-1 must be invisible, then recover
+    mode["crash"] = "before"
+    with pytest.raises(Exception, match="BEFORE icelite commit"):
+        drain()
+    assert table.read(spark).count() == 100  # atomic: no partial batch-1
+    assert [s["fingerprint"] for s in table.snapshots()] == ["batch-0"]
+    drain()  # restart, same checkpoint: batch-1 re-offered and written
+    assert table.read(spark).count() == 200
+    assert [s["fingerprint"] for s in table.snapshots()] == ["batch-0", "batch-1"]
+
+    # ---- crash AFTER commit: restart re-offers batch-1, guard skips it
+    table2 = IceliteTable(str(tmp_path / "ice"), "chaos_asg2")
+    ckpt2 = str(tmp_path / "ck2")
+    mode.update(crash="after", fired=False)
+
+    def drain2():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = write_assignments_icelite(assigned_stream(spark, stream), table2, ckpt2)
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="AFTER commit"):
+        drain2()
+    assert table2.read(spark).count() == 200  # commit landed pre-crash
+    drain2()  # recovery replays batch-1 -> fingerprint guard skips
+    assert table2.read(spark).count() == 200  # NO duplicates
+    assert [s["fingerprint"] for s in table2.snapshots()] == ["batch-0", "batch-1"]
+    # byte-level sanity: every doc_id exactly once
+    ids = [r.doc_id for r in table2.read(spark).select("doc_id").collect()]
+    assert sorted(ids) == list(range(200))
