@@ -88,3 +88,105 @@ _register(
         n_probe=_IVF_PROBE, rounds=_IVF_ROUNDS, dim=64,
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py) — the brief's named custom-
+# operator class ("as-of join, range join"), composed from DataFrame
+# ops (no UDF). The oracles are the brute-force inequality forms; the
+# engine runs the one-shuffle union-timeline / bucketed-equi-join
+# shapes and must agree exactly.
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join: every event picks its user's latest order at or
+    before the event time (point-in-time feature lookup), via ONE
+    keyed shuffle — union timeline + running last(ignorenulls)."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_join(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_s"
+        ),
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.round("asof_o_totalprice", 2).alias("asof_totalprice"),
+    )
+
+
+_register(
+    TEXT4,
+    "asof_join_latest_order",
+    _q_asof_join,
+    """
+    WITH m AS (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           o_orderkey AS asof_orderkey,
+           round(o_totalprice, 2) AS asof_totalprice
+    FROM m WHERE rn = 1
+    """,
+)
+
+_BAND_S = 21600.0  # 6 h follower band
+
+
+def _q_range_join(spark, sf_dir):
+    """Banded range join (self): per anchor event, the count/value-sum
+    of same-user events in the following 6 h — inequality band turned
+    into a (user, time-bucket) equi-join + exact refine."""
+    from .operators.temporal import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+    )
+    pairs = range_join_bucketed(a, b, "a_user", "b_user", "a_ts", "b_ts", _BAND_S)
+    return pairs.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum("b_value"), 2).alias("sum_follow"),
+    )
+
+
+_register(
+    TEXT4,
+    "range_join_followers",
+    _q_range_join,
+    f"""
+    SELECT a.event_id AS anchor_id,
+           count(*) AS n_follow,
+           round(sum(b.value), 2) AS sum_follow
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id
+     AND epoch(b.ts) > epoch(a.ts)
+     AND epoch(b.ts) <= epoch(a.ts) + {_BAND_S!r}
+    GROUP BY a.event_id
+    """,
+)

@@ -1,0 +1,143 @@
+"""Temporal joins the built-in operator set lacks: as-of join and
+banded range join — named in the round brief as the canonical "custom
+operator" class ("e.g., as-of join, range join"), composed here from
+existing DataFrame ops (option (a) of the brief's ladder: no UDF, no
+mapPartitions).
+
+Both are written for the 10^12-row shape:
+
+* **as-of join** (:func:`asof_join`): the classic distributed pattern —
+  UNION the two sides into one keyed timeline, ONE shuffle on the key,
+  and a running ``last(..., ignorenulls)`` window carries the most
+  recent right-side attributes forward onto every left row. No join
+  explosion, no per-row subquery; cost is a single sort per key group
+  (exactly what a point-in-time feature lookup needs at training-data
+  scale).
+
+* **banded range join** (:func:`range_join_bucketed`): inequality
+  bands (t in [t0, t0+W)) become equi-joins by time-bucketing both
+  sides at the band width: the left row explodes to the <=2 buckets
+  its band spans, joins on (key, bucket) — shuffle-partitionable,
+  AQE-splittable, never a cross join — and the exact band predicate
+  refines the bucket candidates (the same coarse-join + exact-refine
+  shape as the spatial core).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch(col: Column) -> Column:
+    """Exact epoch seconds (microsecond-precision double; parquet NTZ
+    timestamps cast through 'timestamp' under the pinned-UTC session so
+    wall time is preserved — the repo-wide idiom)."""
+    return col.cast("timestamp").cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row: the right row of the same key with the
+    greatest ``right_ts`` <= ``left_ts`` (ties on right_ts broken by
+    the greatest first right_col, deterministically). Left rows keep
+    all their columns; matched right attributes arrive as
+    ``{prefix}{col}``; unmatched rows get nulls.
+    """
+    lk, rk = F.col(left_key), F.col(right_key)
+    l_tagged = left.select(
+        lk.alias("__k"),
+        _epoch(F.col(left_ts)).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        rk.alias("__k"),
+        _epoch(F.col(right_ts)).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            l_tagged.schema["__lrow"].dataType
+        ).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # one keyed timeline: right rows sort BEFORE left rows at equal t
+    # (<= semantics); among equal-t right rows the last one wins — the
+    # ORDER BY makes that the max first right_col (deterministic)
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_left", f"__r_{right_cols[0]}")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"{prefix}{c}") for c in right_cols],
+    )
+    return out
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    band_seconds: float,
+    closed_left: bool = False,
+) -> DataFrame:
+    """Matched pairs (all left columns + all right columns) where
+    ``right_key == left_key`` and ``right_ts`` falls in
+    ``(left_ts, left_ts + band_seconds]`` (or ``[left_ts, ...]`` with
+    ``closed_left``). Bucketing both sides at the band width turns the
+    inequality into an equi-join with <=2 candidate buckets per left
+    row; the exact predicate refines."""
+    w = float(band_seconds)
+    lt = _epoch(F.col(left_ts))
+    rt = _epoch(F.col(right_ts))
+    l2 = (
+        left.withColumn("__lt", lt)
+        .withColumn("__b0", F.floor(F.col("__lt") / F.lit(w)).cast("long"))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.col("__b0"),
+                        F.floor((F.col("__lt") + F.lit(w)) / F.lit(w)).cast("long"),
+                    )
+                )
+            ),
+        )
+        .drop("__b0")
+    )
+    r2 = right.withColumn("__rt", rt).withColumn(
+        "__bucket", F.floor(F.col("__rt") / F.lit(w)).cast("long")
+    )
+    lo = F.col("__rt") >= F.col("__lt") if closed_left else F.col("__rt") > F.col("__lt")
+    pairs = l2.alias("l").join(
+        r2.alias("r"),
+        (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
+        & (F.col("l.__bucket") == F.col("r.__bucket")),
+    )
+    refined = pairs.filter(lo & (F.col("__rt") <= F.col("__lt") + F.lit(w)))
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns
+    ]
+    return refined.select(*keep)

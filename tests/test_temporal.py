@@ -1,0 +1,101 @@
+"""Temporal joins (operators/temporal.py): correctness vs brute force
+and the plan shapes that make them scale (no cross join, one keyed
+shuffle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hand_index_spark.operators.temporal import asof_join, range_join_bucketed
+
+
+def _mk(spark):
+    base = dt.datetime(2024, 3, 1)
+    trades = spark.createDataFrame(
+        [
+            (i, i % 3, base + dt.timedelta(seconds=37 * i + (i % 7)))
+            for i in range(200)
+        ],
+        "trade_id long, sym long, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (100 + i, i % 3, base + dt.timedelta(seconds=50 * i), 10.0 + i)
+            for i in range(120)
+        ],
+        "quote_id long, qsym long, qt timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_matches_bruteforce(spark):
+    trades, quotes = _mk(spark)
+    got = {
+        r.trade_id: (r.asof_quote_id, r.asof_px)
+        for r in asof_join(
+            trades, quotes, "sym", "qsym", "t", "qt", ["quote_id", "px"]
+        ).collect()
+    }
+    t_rows = trades.collect()
+    q_rows = quotes.collect()
+    for tr in t_rows:
+        cands = [
+            q for q in q_rows if q.qsym == tr.sym and q.qt <= tr.t
+        ]
+        if cands:
+            best = max(cands, key=lambda q: (q.qt, q.quote_id))
+            assert got[tr.trade_id] == (best.quote_id, best.px), tr
+        else:
+            assert got[tr.trade_id] == (None, None), tr
+    assert len(got) == len(t_rows)  # left-join row preservation
+
+
+def test_asof_tie_takes_latest_right(spark):
+    trades = spark.createDataFrame(
+        [(1, 0, dt.datetime(2024, 1, 1, 12))], "trade_id long, sym long, t timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [
+            (7, 0, dt.datetime(2024, 1, 1, 12), 1.0),  # same instant as trade
+            (9, 0, dt.datetime(2024, 1, 1, 12), 2.0),  # same ts tie -> max id
+            (8, 0, dt.datetime(2024, 1, 1, 11), 3.0),
+        ],
+        "quote_id long, qsym long, qt timestamp, px double",
+    )
+    r = asof_join(trades, quotes, "sym", "qsym", "t", "qt", ["quote_id", "px"]).first()
+    assert (r.asof_quote_id, r.asof_px) == (9, 2.0)  # <= includes equal ts
+
+
+def test_range_join_matches_bruteforce_and_plan(spark):
+    trades, quotes = _mk(spark)
+    band = 120.0
+    out = range_join_bucketed(
+        trades, quotes, "sym", "qsym", "t", "qt", band
+    )
+    got = sorted((r.trade_id, r.quote_id) for r in out.collect())
+    t_rows, q_rows = trades.collect(), quotes.collect()
+    want = sorted(
+        (tr.trade_id, q.quote_id)
+        for tr in t_rows
+        for q in q_rows
+        if q.qsym == tr.sym
+        and (q.qt - tr.t).total_seconds() > 0
+        and (q.qt - tr.t).total_seconds() <= band
+    )
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_plan_single_shuffle_no_join(spark):
+    trades, quotes = _mk(spark)
+    out = asof_join(trades, quotes, "sym", "qsym", "t", "qt", ["quote_id", "px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the union-timeline form contains NO join operator at all
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one keyed shuffle
