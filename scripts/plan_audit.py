@@ -130,6 +130,46 @@ def main() -> None:
         expect=("__salt", "REPARTITION_BY_NUM"),
     )
 
+    # round-4: the large-dimension assignment path must be pure shuffle
+    # equi-joins — NO broadcast anywhere (the whole point is a dimension
+    # past the broadcast ceiling) and no Python assignment stage
+    audit(
+        "tile_assign_joined",
+        GEO_QUERIES["tile_assign_joined"],
+        expect=("ShuffledHashJoin",),
+        forbid=("BroadcastHashJoin", "BroadcastExchange", "ArrowEvalPython",
+                "BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    # round-4: as-of join is the union-timeline form — a Window over one
+    # keyed shuffle, containing NO join operator of any kind
+    audit(
+        "asof_join_latest_order",
+        TEXTOPS["asof_join_latest_order"],
+        expect=("Window",),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-4: banded range join = bucket explode + equi-join + refine;
+    # the inequality must never degrade to a cross/nested-loop join
+    audit(
+        "range_join_followers",
+        TEXTOPS["range_join_followers"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-4: IVF from the persisted index — same broadcast-NLJ-only-
+    # for-centroids contract as ann_ivf_topk, reading icelite tables
+    from hand_index_spark.entry_queries_r4 import TEXT4 as _TEXT4
+
+    audit(
+        "ann_ivf_indexed",
+        _TEXT4["ann_ivf_indexed"],
+        expect=("BroadcastNestedLoopJoin",),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
