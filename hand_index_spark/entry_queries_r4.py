@@ -148,6 +148,171 @@ _register(
     """,
 )
 
+# --------------------------------------------------------------------------
+# Schema evolution on the icelite table layer (Iceberg's add-column):
+# snapshot 1 is written WITHOUT ``lang``, snapshot 2 appends WITH it;
+# the manifest read null-fills the missing column on the old rows
+# (unionByName allowMissingColumns) — the contract a long-lived
+# 10^12-row table needs when the ingest schema widens mid-life.
+
+
+def _q_schema_evolution(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("schevo_")
+    d = _t(spark, sf_dir, "documents")
+    t = IceliteTable(root, "docs_evo")
+    t.write(
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"),
+        stage="v1", fingerprint="s1", lineage_key="doc_id",
+    )
+    t.write(
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang"),
+        stage="v2", fingerprint="s2", mode="append", lineage_key="doc_id",
+    )
+    back = t.read(spark)
+    return back.groupBy(
+        F.coalesce(F.col("lang"), F.lit("<pre-evolution>")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+_register(
+    TEXT4,
+    "schema_evolution",
+    _q_schema_evolution,
+    """
+    SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<pre-evolution>' END AS lang,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Stream-STREAM interval join (§2.10 depth): click events joined to the
+# same user's view events within the preceding hour, both sides
+# watermarked (the condition references the event-time columns
+# directly, which is what lets Spark bound and clean the join state —
+# the production shape for correlating two live feeds). Oracle = the
+# batch inequality join.
+
+
+def _q_stream_stream_join(spark, sf_dir):
+    import os
+    import uuid
+
+    from .entry_queries_r2 import _fresh_dir
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = _fresh_dir("ssj_src_")
+    os.symlink(path, os.path.join(src, "events.parquet"))
+
+    def feed():
+        return spark.readStream.schema(schema).parquet(src)
+
+    views = (
+        feed()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        feed()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "view_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_register(
+    TEXT4,
+    "stream_stream_join",
+    _q_stream_stream_join,
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id
+    FROM events c JOIN events v
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# The input-hint invariant as a FULL-CYCLE query (BASELINE.json:15
+# "byte-identical extracted text per url"): build the html binary the
+# hint describes, extract text back out of the markup JVM-side
+# (regexp, no Python), and prove byte identity via sha256 — the
+# extraction stage a Common-Crawl pipeline runs, verified end-to-end.
+
+
+def _q_html_extract_text(spark, sf_dir):
+    from .operators.multimodal import attach_html_binary
+    from .pipelines.assign_tiles import web_pages_from_documents
+
+    pages = attach_html_binary(web_pages_from_documents(spark, sf_dir))
+    extracted = F.regexp_replace(F.decode(F.col("html"), "utf-8"), "<[^>]*>", "")
+    return pages.select(
+        "url",
+        F.sha2(F.col("text"), 256).alias("sha_text"),
+        F.sha2(extracted, 256).alias("sha_extracted"),
+        (F.sha2(extracted, 256) == F.sha2(F.col("text"), 256)).alias("byte_identical"),
+    )
+
+
+_register(
+    TEXT4,
+    "html_extract_text",
+    _q_html_extract_text,
+    """
+    WITH pages AS (
+        SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+                 || '.example/d' || CAST(doc_id AS VARCHAR) AS url,
+               text,
+               '<html><body>' || text || '</body></html>' AS html
+        FROM documents
+    )
+    SELECT url,
+           sha256(text) AS sha_text,
+           sha256(regexp_replace(html, '<[^>]*>', '', 'g')) AS sha_extracted,
+           sha256(regexp_replace(html, '<[^>]*>', '', 'g')) = sha256(text)
+             AS byte_identical
+    FROM pages
+    """,
+)
+
+
 _BAND_S = 21600.0  # 6 h follower band
 
 
