@@ -194,6 +194,95 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# Row-level MERGE (icelite.merge — Iceberg MERGE INTO, copy-on-write):
+# base table + an update set that bumps every third doc's n_chars; the
+# read-back aggregate must equal the oracle's CASE arithmetic, and the
+# pre-merge snapshot stays time-travelable (pytest).
+
+
+def _q_icelite_merge(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("merge_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = IceliteTable(root, "docs_m")
+    t.write(d, stage="base", fingerprint="b", lineage_key="doc_id")
+    updates = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    t.merge(spark, updates, "doc_id", fingerprint="m1")
+    back = t.read(spark)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_register(
+    TEXT4,
+    "icelite_merge",
+    _q_icelite_merge,
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                         ELSE n_chars END) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Compaction (icelite.compact — Iceberg rewrite_data_files): three
+# append snapshots accumulate three data dirs; compact rewrites them
+# into one. The aggregate over the compacted table must equal the
+# oracle; dir/snapshot counts ride as literals.
+
+
+def _q_icelite_compact(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("compact_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = IceliteTable(root, "docs_c")
+    for i in range(3):
+        t.write(
+            d.filter(F.col("doc_id") % 3 == i),
+            stage="load", fingerprint=f"part{i}",
+            mode="append" if i else "overwrite", lineage_key="doc_id",
+        )
+    dirs_before = len(t.current_snapshot()["data_paths"])
+    t.compact(spark)
+    dirs_after = len(t.current_snapshot()["data_paths"])
+    back = t.read(spark)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).select(
+        "*",
+        F.lit(dirs_before).cast("long").alias("dirs_before"),
+        F.lit(dirs_after).cast("long").alias("dirs_after"),
+    )
+
+
+_register(
+    TEXT4,
+    "icelite_compact",
+    _q_icelite_compact,
+    """
+    SELECT count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(3 AS BIGINT) AS dirs_before,
+           CAST(1 AS BIGINT) AS dirs_after
+    FROM documents
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # Stream-STREAM interval join (§2.10 depth): click events joined to the
 # same user's view events within the preceding hour, both sides
 # watermarked (the condition references the event-time columns

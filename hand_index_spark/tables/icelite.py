@@ -215,6 +215,50 @@ class IceliteTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    # ---------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        stage: str = "merge",
+        fingerprint: str = "",
+    ) -> dict:
+        """Row-level MERGE / upsert (Iceberg MERGE INTO, copy-on-write
+        strategy): current rows whose ``key`` appears in ``updates`` are
+        replaced, unseen keys insert. One key anti-join + union + the
+        normal atomic overwrite commit — so the merge is all-or-nothing
+        and time travel still reads the pre-merge snapshot. At scale the
+        anti-join shuffles on the key like any equi-join (AQE-splittable);
+        the rewrite cost is the copy-on-write trade, the same one
+        Iceberg's default MERGE makes."""
+        cur = self.read(spark)
+        kept = cur.join(updates.select(key).distinct(), key, "left_anti")
+        merged = kept.unionByName(updates)
+        return self.write(
+            merged, stage=stage, fingerprint=fingerprint, lineage_key=key
+        )
+
+    # --------------------------------------------------------------- compact
+
+    def compact(
+        self, spark: SparkSession, target_files: int = 1, stage: str = "compact"
+    ) -> dict:
+        """Maintenance: rewrite the current manifest (possibly many
+        append-accumulated directories / small files) into one coalesced
+        directory (Iceberg rewrite_data_files). The row set must be
+        byte-identical — callers can assert the order-insensitive
+        full-table checksum is unchanged; old dirs remain readable for
+        time travel until :meth:`vacuum`."""
+        cur = self.current_snapshot()
+        df = self.read(spark).coalesce(max(target_files, 1))
+        return self.write(
+            df,
+            stage=stage,
+            fingerprint=f"compact-of-{cur['snapshot_id'] if cur else 'empty'}",
+        )
+
     # --------------------------------------------------------------- vacuum
 
     def vacuum(self, keep_last: int = 2) -> dict:

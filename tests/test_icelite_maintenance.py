@@ -1,0 +1,69 @@
+"""icelite MERGE (row-level upsert) + compaction maintenance semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hand_index_spark.tables.icelite import IceliteTable
+
+
+def _checksum(spark, t):
+    df = t.read(spark)
+    cols = ", ".join(df.columns)
+    row = df.agg(
+        F.expr(f"bit_xor(xxhash64({cols}))").alias("ck"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return row.ck, row.n
+
+
+def test_merge_upsert_and_time_travel(spark, tmp_path):
+    t = IceliteTable(str(tmp_path), "m")
+    base = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.write(base, stage="base", lineage_key="k")
+    sid0 = t.current_snapshot()["snapshot_id"]
+
+    updates = spark.range(50, 120).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    t.merge(spark, updates, "k", fingerprint="m1")
+
+    back = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(back) == 120  # 50 replaced + 50 untouched + 20 inserted
+    for k in range(120):
+        assert back[k] == (-1 if k >= 50 else 2 * k), k
+    # pre-merge snapshot still time-travels intact (copy-on-write)
+    old = {r.k: r.v for r in t.read_snapshot(spark, sid0).collect()}
+    assert old == {k: 2 * k for k in range(100)}
+    # merge is idempotently resumable like any staged write
+    assert t.stage_done("merge", "m1")
+
+
+def test_compact_preserves_checksum_then_vacuum(spark, tmp_path):
+    t = IceliteTable(str(tmp_path), "c")
+    for i in range(3):
+        part = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        t.write(
+            part, stage="load", fingerprint=f"p{i}",
+            mode="append" if i else "overwrite", lineage_key="k",
+        )
+    assert len(t.current_snapshot()["data_paths"]) == 3
+    ck0, n0 = _checksum(spark, t)
+
+    t.compact(spark)
+    snap = t.current_snapshot()
+    assert snap["stage"] == "compact"
+    assert len(snap["data_paths"]) == 1
+    ck1, n1 = _checksum(spark, t)
+    assert (ck1, n1) == (ck0, n0)  # byte-identical row set, one dir
+
+    # old dirs remain for time travel until vacuum
+    data = os.path.join(str(tmp_path), "c", "data")
+    assert len([d for d in os.listdir(data) if d.startswith("d-")]) == 4
+    t.vacuum(keep_last=1)
+    assert len([d for d in os.listdir(data) if d.startswith("d-")]) == 1
+    assert _checksum(spark, t) == (ck0, n0)
