@@ -194,6 +194,26 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog distinct sketch (operators/sketch.py) — the brief's
+# "novel sketch" slot. One pass + one 256-row shuffle; the oracle
+# evaluates the identical modular hash / CASE ranks / exact harmonic
+# sum, so even the ESTIMATE compares bit-for-bit (round 4 absorbs the
+# single libm ln in the small-range correction).
+
+
+def _q_hll_distinct(spark, sf_dir):
+    from .operators.sketch import hll_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    return hll_estimate(d, "doc_id")
+
+
+from .operators.sketch import hll_estimate_sql as _hll_sql  # noqa: E402
+
+_register(TEXT4, "hll_distinct", _q_hll_distinct, _hll_sql("documents", "doc_id"))
+
+
+# --------------------------------------------------------------------------
 # Row-level MERGE (icelite.merge — Iceberg MERGE INTO, copy-on-write):
 # base table + an update set that bumps every third doc's n_chars; the
 # read-back aggregate must equal the oracle's CASE arithmetic, and the
