@@ -194,6 +194,62 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# GENERIC covering-cell spatial join (operators/spatial_join.py): points
+# x arbitrary polygons, zero broadcast, zero Python (Catalyst polyfill
+# + higher-order-function PIP). Run against the tile quads it must
+# reproduce exactly the broadcast kernel's PIP hits — the oracle is the
+# shared assign CTE restricted to method='pip'.
+
+
+def _q_spatial_join_generic(spark, sf_dir):
+    import pandas as pd
+
+    from .operators.assign import build_tile_index
+    from .operators.spatial_join import spatial_join_points_polys
+    from .pipelines.assign_tiles import web_pages_from_documents
+
+    pages = E.with_geotag(web_pages_from_documents(spark, sf_dir)).select(
+        "url", "lat", "lon"
+    )
+    ix = build_tile_index()
+    q = ix.quad_corners  # (T, 4, 2) open quads -> closed rings
+    rows = []
+    for k, tid in enumerate(ix.ids):
+        ring = list(q[k].ravel()) + [float(q[k, 0, 0]), float(q[k, 0, 1])]
+        rows.append(
+            (
+                int(tid),
+                ring,
+                float(q[k, :, 0].min()),
+                float(q[k, :, 1].min()),
+                float(q[k, :, 0].max()),
+                float(q[k, :, 1].max()),
+            )
+        )
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["tile_id", "coords_flat", "xmin", "ymin", "xmax", "ymax"]
+        )
+    )
+    out = spatial_join_points_polys(
+        pages, polys, res=0, pip="convex",
+        xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax",
+    )
+    return out.select("url", "tile_id")
+
+
+_register(
+    GEO4,
+    "spatial_join_generic",
+    _q_spatial_join_generic,
+    f"""
+    {oracles.assign_cte()}
+    SELECT url, tile_id FROM asg WHERE method = 'pip'
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # HyperLogLog distinct sketch (operators/sketch.py) — the brief's
 # "novel sketch" slot. One pass + one 256-row shuffle; the oracle
 # evaluates the identical modular hash / CASE ranks / exact harmonic

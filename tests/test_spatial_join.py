@@ -1,0 +1,132 @@
+"""Generic covering-cell spatial join (operators/spatial_join.py):
+raycast correctness on CONCAVE polygons vs brute force, parity with the
+broadcast kernel on the convex quads, and the no-broadcast/no-Python
+plan contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hand_index_spark.operators.spatial_join import spatial_join_points_polys
+
+
+def _polys_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pid", "coords_flat", "xmin", "ymin", "xmax", "ymax"])
+    )
+
+
+def _ring_row(pid, ring):
+    r = np.asarray(ring, dtype=np.float64)
+    closed = np.vstack([r, r[:1]])
+    return (
+        pid,
+        closed.ravel().tolist(),
+        float(r[:, 0].min()),
+        float(r[:, 1].min()),
+        float(r[:, 0].max()),
+        float(r[:, 1].max()),
+    )
+
+
+def _raycast_ref(px, py, ring):
+    r = np.asarray(ring, dtype=np.float64)
+    inside = False
+    for i in range(len(r) - 1):
+        x1, y1 = r[i]
+        x2, y2 = r[i + 1]
+        if (y1 > py) != (y2 > py):
+            xi = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xi:
+                inside = not inside
+    return inside
+
+
+def test_raycast_concave_matches_bruteforce(spark):
+    # an L-shape (concave) and a C-shape, both CCW
+    L = [(0, 0), (4, 0), (4, 1), (1, 1), (1, 4), (0, 4)]
+    C = [(6, 0), (10, 0), (10, 1), (7, 1), (7, 3), (10, 3), (10, 4), (6, 4)]
+    polys = _polys_df(spark, [_ring_row(1, L), _ring_row(2, C)])
+    rng = np.random.default_rng(5)
+    pts = rng.uniform([-1, -1], [11, 5], size=(800, 2))
+    points = spark.createDataFrame(
+        pd.DataFrame({"pt_id": range(800), "lon": pts[:, 0], "lat": pts[:, 1]})
+    )
+    out = spatial_join_points_polys(
+        points, polys, res=2, pip="raycast",
+        xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax",
+    )
+    got = sorted((r.pt_id, r.pid) for r in out.collect())
+    closed = {1: L + L[:1], 2: C + C[:1]}
+    want = sorted(
+        (i, pid)
+        for i, (px, py) in enumerate(pts)
+        for pid in (1, 2)
+        if _raycast_ref(px, py, closed[pid])
+    )
+    assert got == want
+
+
+def test_generic_matches_broadcast_kernel_on_quads(spark):
+    from hand_index_spark.operators import assign as A, encode as E
+
+    pts = E.with_geotag(spark.range(8000).withColumnRenamed("id", "doc_id"))
+    bcast = A.assign_tiles(pts, spark, pip="convex")
+    want = sorted(
+        (r.doc_id, r.tile_id)
+        for r in bcast.filter(F.col("method") == "pip").collect()
+    )
+    ix = A.build_tile_index()
+    q = ix.quad_corners
+    rows = [
+        (
+            int(tid),
+            list(q[k].ravel()) + [float(q[k, 0, 0]), float(q[k, 0, 1])],
+            float(q[k, :, 0].min()),
+            float(q[k, :, 1].min()),
+            float(q[k, :, 0].max()),
+            float(q[k, :, 1].max()),
+        )
+        for k, tid in enumerate(ix.ids)
+    ]
+    polys = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["tile_id", "coords_flat", "xmin", "ymin", "xmax", "ymax"])
+    )
+    out = spatial_join_points_polys(
+        pts.select("doc_id", "lat", "lon"), polys, res=0, pip="convex",
+        xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax",
+    )
+    got = sorted((r.doc_id, r.tile_id) for r in out.collect())
+    assert got == want
+
+
+def test_plan_no_broadcast_no_python(spark):
+    from hand_index_spark.operators import assign as A, encode as E
+
+    pts = E.with_geotag(spark.range(100).withColumnRenamed("id", "doc_id"))
+    ix = A.build_tile_index()
+    q = ix.quad_corners
+    rows = [
+        (
+            int(tid),
+            list(q[k].ravel()) + [float(q[k, 0, 0]), float(q[k, 0, 1])],
+            float(q[k, :, 0].min()), float(q[k, :, 1].min()),
+            float(q[k, :, 0].max()), float(q[k, :, 1].max()),
+        )
+        for k, tid in enumerate(ix.ids)
+    ]
+    polys = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["tile_id", "coords_flat", "xmin", "ymin", "xmax", "ymax"])
+    )
+    out = spatial_join_points_polys(
+        pts.select("doc_id", "lat", "lon"), polys, res=0,
+        xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BroadcastExchange", "BroadcastHashJoin", "ArrowEvalPython",
+                "BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    assert "ShuffledHashJoin" in plan
+    assert "Generate" in plan  # the Catalyst polyfill explode
