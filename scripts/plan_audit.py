@@ -169,6 +169,22 @@ def main() -> None:
         expect=("BroadcastNestedLoopJoin",),
         forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
     )
+    # round-4: generic covering-cell spatial join — Catalyst polyfill
+    # (Generate) + shuffle equi-join, zero broadcast, zero Python
+    audit(
+        "spatial_join_generic",
+        GEO_QUERIES["spatial_join_generic"],
+        expect=("ShuffledHashJoin", "Generate"),
+        forbid=("BroadcastExchange", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-4: HLL sketch — one scan + one tiny groupBy, all codegen
+    audit(
+        "hll_distinct",
+        _TEXT4["hll_distinct"],
+        expect=("HashAggregate",),
+        forbid=("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"),
+    )
 
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
