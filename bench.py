@@ -106,6 +106,57 @@ def build_queries(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_pages"))
         )
 
+    # generic covering-cell spatial join (operators/spatial_join.py):
+    # 500k arbitrary quad polygons x 2M points, raycast PIP, zero
+    # broadcast — the second engine pillar next to the broadcast-UDF
+    # flagship. Datagen is checkpointed in an UNTIMED setup hook.
+    import numpy as np
+    import pandas as pd
+
+    from hand_index_spark.operators.spatial_join import spatial_join_points_polys
+
+    sj_npoly = int(os.environ.get("SPARK_GRAFT_SJOIN_POLYS", 500_000))
+    sj_npts = int(os.environ.get("SPARK_GRAFT_SJOIN_POINTS", 2_000_000))
+
+    def setup_sjoin():
+        def gen_polys(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy(np.int64)
+                lon = -125.0 + ((ids * 2654435761) % 6000).astype(np.float64) * 0.01
+                lat = 25.0 + ((ids * 97 + 13) % 2500).astype(np.float64) * 0.01
+                h = 0.004
+                rows = []
+                for i in range(len(ids)):
+                    x0, y0, x1, y1 = lon[i] - h, lat[i] - h, lon[i] + h, lat[i] + h
+                    rows.append(
+                        (int(ids[i]), [x0, y0, x1, y0, x1, y1, x0, y1, x0, y0],
+                         x0, y0, x1, y1)
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["pid", "coords_flat", "xmin", "ymin", "xmax", "ymax"],
+                )
+
+        polys = spark.range(sj_npoly).mapInPandas(
+            gen_polys,
+            "pid long, coords_flat array<double>, xmin double, ymin double,"
+            " xmax double, ymax double",
+        ).localCheckpoint(eager=True)
+        pts = spark.range(sj_npts).select(
+            F.col("id").alias("pt_id"),
+            (F.lit(-125.0) + ((F.col("id") * 48271) % 6000000).cast("double")
+             / 100000.0).alias("lon"),
+            (F.lit(25.0) + ((F.col("id") * 16807 + 7) % 2500000).cast("double")
+             / 100000.0).alias("lat"),
+        ).localCheckpoint(eager=True)
+        return {"polys": polys, "pts": pts}
+
+    def q_spatial_join_synth(ctx):
+        return spatial_join_points_polys(
+            ctx["pts"], ctx["polys"], res=7, pip="raycast",
+            xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax",
+        )
+
     from hand_index_spark.operators.dedup import (
         capped_candidate_pairs,
         dedup_base,
@@ -141,6 +192,7 @@ def build_queries(spark, sf_dir):
         "tile_histogram": wrap(q_tile_histogram),
         "pricing_summary": (None, lambda _c: RELATIONAL["pricing_summary"](spark, sf_dir)),
         "join_left_3way": (None, lambda _c: RELATIONAL["join_left_3way"](spark, sf_dir)),
+        "spatial_join_500k": (setup_sjoin, q_spatial_join_synth),
         "dedup_pairs_1m": (setup_dedup, q_dedup_pairs_1m),
     }
 
