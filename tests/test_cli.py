@@ -52,3 +52,38 @@ def test_calb_branch_regexp_variant(spark):
     pat = r".*hydroTable.*\.csv$"
     assert _asset_join(manifest, cat, pat, "csv_path", calb=True).count() == 1
     assert _asset_join(manifest, cat, pat, "csv_path", calb=False).count() == 0
+
+
+def test_dedup_corpus_cli_and_resume(spark, tmp_path):
+    from hand_index_spark.cli import dedup_corpus_main
+
+    root = str(tmp_path / "dedup")
+    argv = [
+        "--docs-parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--output-dir", root, "--perms", "4", "--rows-per-band", "2",
+        "--hash-mode", "oracle",
+    ]
+    snaps = dedup_corpus_main.main(argv, spark=spark)
+    assert set(snaps) == {"reps", "signatures", "pairs", "clusters", "keep"}
+    assert snaps["keep"]["row_count"] > 0
+    # rerun = full fingerprint resume
+    assert dedup_corpus_main.main(argv, spark=spark) == {}
+
+
+def test_ann_index_cli_build_query_resume(spark, tmp_path):
+    from hand_index_spark.cli import ann_index_main
+
+    root = str(tmp_path / "annidx")
+    argv = [
+        "--embeddings-parquet", "/root/testdata/sf0.001/embeddings.parquet",
+        "--output-dir", root, "--query-ids", "0,1", "--k", "3",
+    ]
+    out = ann_index_main.main(argv, spark=spark)
+    assert set(out["built"]) == {"vectors", "centroids", "assignments"}
+    qids = {r["qid"] for r in out["topk"]}
+    assert qids == {0, 1}
+    ranks = [r["rank"] for r in out["topk"] if r["qid"] == 0]
+    assert ranks == sorted(ranks)
+    out2 = ann_index_main.main(argv, spark=spark)
+    assert out2["built"] == {}  # resumed
+    assert out2["topk"] == out["topk"]  # served from the persisted index

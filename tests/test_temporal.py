@@ -99,3 +99,47 @@ def test_asof_plan_single_shuffle_no_join(spark):
                 "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # one keyed shuffle
+
+
+def test_range_join_property_boundaries(spark):
+    """Property sweep over band widths and adversarial timestamps that
+    sit EXACTLY on band edges and bucket boundaries — the cases where a
+    bucketing bug (wrong candidate bucket set, off-by-one on the open/
+    closed band ends) would diverge from brute force."""
+    import itertools
+
+    base = dt.datetime(2024, 6, 1)
+    # timestamps engineered to land on exact multiples of the band
+    # widths below, plus epsilon offsets around them
+    offsets = [0, 1, 59, 60, 61, 119, 120, 121, 180, 240, 300, 3600]
+    rows = []
+    i = 0
+    for k, off in itertools.product(range(3), offsets):
+        rows.append((i, k, base + dt.timedelta(seconds=off + k)))
+        i += 1
+    left = spark.createDataFrame(rows, "lid long, k long, t timestamp")
+    right = spark.createDataFrame(
+        [(100 + j, r[1], r[2] + dt.timedelta(seconds=d))
+         for j, (r, d) in enumerate(
+             itertools.product(rows, [-1, 0, 1, 59, 60, 61, 120, 121]))],
+        "rid long, rk long, rt timestamp",
+    )
+    l_rows, r_rows = left.collect(), right.collect()
+    for band, closed in [(60.0, False), (60.0, True), (120.0, False)]:
+        out = range_join_bucketed(
+            left, right, "k", "rk", "t", "rt", band, closed_left=closed
+        )
+        got = sorted((r.lid, r.rid) for r in out.collect())
+        want = sorted(
+            (lr.lid, rr.rid)
+            for lr in l_rows
+            for rr in r_rows
+            if rr.rk == lr.k
+            and (
+                (rr.rt - lr.t).total_seconds() >= 0
+                if closed
+                else (rr.rt - lr.t).total_seconds() > 0
+            )
+            and (rr.rt - lr.t).total_seconds() <= band
+        )
+        assert got == want, (band, closed)
