@@ -369,16 +369,37 @@ def jaccard_refine(
         sets = docs.select(
             F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("ws")
         )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (distinct token sets), so
+    # the per-pair array_union allocation is replaced by two ints
+    # carried through the joins. The division sees identical integer
+    # operands, so the rounded jaccard (and every oracle) is
+    # bit-unchanged. Interleaved A/B at 4.59M pairs: ~7% — the verify
+    # stage is shuffle-bound on the ws arrays, not compute-bound, so
+    # the remaining lever at 100 TB is pair count (cap/bands), not
+    # per-pair expression cost.
+    sets = sets.withColumn("nw", F.size("ws"))
+    inter = F.size(F.array_intersect("wa", "wb"))
     j = (
         pairs.join(
-            sets.select(F.col(id_col).alias("id_a"), F.col("ws").alias("wa")), "id_a"
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col("ws").alias("wa"),
+                F.col("nw").alias("na"),
+            ),
+            "id_a",
         )
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("ws").alias("wb")), "id_b")
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("ws").alias("wb"),
+                F.col("nw").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("ni", inter)
         .withColumn(
             "jac",
             F.round(
-                F.size(F.array_intersect("wa", "wb")).cast("double")
-                / F.size(F.array_union("wa", "wb")).cast("double"),
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"),
                 6,
             ),
         )
