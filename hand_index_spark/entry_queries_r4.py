@@ -194,6 +194,58 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# Explicit spark.sql TEXT surface (the brief's "DataFrame / SQL" API —
+# every other query uses the DataFrame builder; this one registers temp
+# views and runs ANSI SQL text through Catalyst, TPC-H Q3 shape):
+# per-order revenue for one market segment before a cutoff date.
+
+
+def _q_sql_text_surface(spark, sf_dir):
+    for name in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    # revenue in exact integer cents (floor(x*100 + 0.5) per line, then
+    # an order-free BIGINT sum) — a raw double sum differs at the cent
+    # between engines on ~0.4% of groups purely from partition order
+    return spark.sql(
+        """
+        SELECT l.l_orderkey AS orderkey,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+                 AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o.o_orderpriority AS priority
+        FROM v_customer c
+        JOIN v_orders o ON c.c_custkey = o.o_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        """
+    )
+
+
+_register(
+    TEXT4,
+    "sql_text_surface",
+    _q_sql_text_surface,
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # GENERIC covering-cell spatial join (operators/spatial_join.py): points
 # x arbitrary polygons, zero broadcast, zero Python (Catalyst polyfill
 # + higher-order-function PIP). Run against the tile quads it must
