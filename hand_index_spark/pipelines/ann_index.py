@@ -36,10 +36,18 @@ def build_ann_index(
     fingerprint: str = "v1",
     n_centroids: int = 16,
     rounds: int = 2,
+    train_pred=None,
 ) -> dict:
     """Run (or resume) the index build; returns {stage: snapshot}.
     Completed stages are fingerprint-matched and skipped, so a mid-build
-    crash resumes without re-reading the raw embeddings."""
+    crash resumes without re-reading the raw embeddings.
+
+    ``train_pred``: optional Column predicate selecting the quantizer
+    TRAINING subset — at 10^9+ vectors k-means runs on a sample while
+    the assignment pass covers everything (the standard IVF build).
+    With it, Lloyd iterates over the subset only (init: its lowest
+    ``n_centroids`` vec_ids); without it the full default is unchanged
+    (init ``vec_id < n_centroids``, the frozen oracle behavior)."""
     snaps: dict[str, dict] = {}
 
     vec_t = IceliteTable(out_root, "vectors")
@@ -52,13 +60,19 @@ def build_ann_index(
     cent_t = IceliteTable(out_root, "centroids")
     if not cent_t.stage_done("centroids", fingerprint):
         base = vec_t.read(spark)
-        cents = base.filter(F.col("vec_id") < n_centroids).select(
+        if train_pred is not None:
+            train = base.filter(train_pred).localCheckpoint(eager=True)
+            init = train.orderBy("vec_id").limit(n_centroids)
+        else:
+            train = base
+            init = base.filter(F.col("vec_id") < n_centroids)
+        cents = init.select(
             F.col("vec_id").alias("cid"),
             F.col("e").alias("ce"),
             F.col("norm").alias("cn"),
         )
         for _ in range(rounds):
-            cents = A._lloyd_update(base, cents)
+            cents = A._lloyd_update(train, cents)
         snaps["centroids"] = cent_t.write(
             cents, stage="centroids", fingerprint=fingerprint, lineage_key="cid"
         )
@@ -74,6 +88,47 @@ def build_ann_index(
         )
         snaps["assignments"] = asg_t.write(
             cells, stage="assignments", fingerprint=fingerprint, lineage_key="cell"
+        )
+    return snaps
+
+
+def add_vectors(
+    spark: SparkSession,
+    out_root: str,
+    new_emb: DataFrame,
+    fingerprint: str,
+) -> dict:
+    """Grow the PERSISTED index without retraining: normalize the new
+    vectors, assign them against the frozen centroids, and row-level
+    MERGE both tables (re-added vec_ids upsert — the copy-on-write
+    contract of icelite.merge, time-travelable). The quantizer is
+    untouched, so serving continues against a consistent cell map; a
+    production deployment retrains/rebuilds when drift accumulates, as
+    IVF systems do."""
+    vec_t = IceliteTable(out_root, "vectors")
+    cent_t = IceliteTable(out_root, "centroids")
+    asg_t = IceliteTable(out_root, "assignments")
+    snaps: dict[str, dict] = {}
+    if not vec_t.stage_done("add-vectors", fingerprint):
+        base_new = A.with_vectors(new_emb).select("vec_id", "e", "norm")
+        base_new = base_new.localCheckpoint(eager=True)
+        snaps["vectors"] = vec_t.merge(
+            spark, base_new, "vec_id", stage="add-vectors", fingerprint=fingerprint
+        )
+    if not asg_t.stage_done("add-assign", fingerprint):
+        # re-read the committed new rows (resume-safe: the merge above
+        # may have landed in a previous crashed attempt)
+        base_new = vec_t.read(spark).join(
+            new_emb.select("vec_id"), "vec_id", "left_semi"
+        )
+        cents = cent_t.read(spark)
+        cells_new = (
+            A._rank_cells(base_new, cents)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell"))
+        )
+        snaps["assignments"] = asg_t.merge(
+            spark, cells_new, "vec_id", stage="add-assign", fingerprint=fingerprint
         )
     return snaps
 

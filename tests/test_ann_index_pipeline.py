@@ -80,3 +80,34 @@ def test_production_hash_recall_gate(spark):
     )
     assert recall >= 0.99
     assert reduction >= 1000
+
+
+def test_incremental_add_equals_sample_trained_full_build(spark, tmp_path):
+    """Sampled quantizer training + incremental growth: building on the
+    first half then add_vectors(second half) must serve IDENTICAL
+    results to a one-shot build whose quantizer trained on that same
+    first half — the centroids are frozen, so the cell map and every
+    top-k agree exactly."""
+    from hand_index_spark.pipelines.ann_index import add_vectors
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    h1 = emb.filter(F.col("vec_id") < 250)
+    h2 = emb.filter(F.col("vec_id") >= 250)
+
+    ref_root = str(tmp_path / "ref")
+    build_ann_index(spark, emb, ref_root, train_pred=F.col("vec_id") < 250)
+    ref = _rows(ivf_topk_indexed(spark, ref_root, F.col("vec_id") < 5, k=3, n_probe=2))
+
+    inc_root = str(tmp_path / "inc")
+    build_ann_index(spark, h1, inc_root)
+    snaps = add_vectors(spark, inc_root, h2, fingerprint="grow1")
+    assert set(snaps) == {"vectors", "assignments"}
+    got = _rows(ivf_topk_indexed(spark, inc_root, F.col("vec_id") < 5, k=3, n_probe=2))
+    assert got == ref
+
+    # idempotent: re-adding the same batch is a fingerprint no-op
+    assert add_vectors(spark, inc_root, h2, fingerprint="grow1") == {}
+    # and the index covers the full corpus
+    from hand_index_spark.tables.icelite import IceliteTable
+
+    assert IceliteTable(inc_root, "vectors").read(spark).count() == emb.count()
