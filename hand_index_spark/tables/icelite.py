@@ -41,6 +41,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the snapshot id this writer computed —
+    the optimistic-concurrency conflict Iceberg surfaces as
+    CommitFailedException. The losing writer's data directory is
+    unreferenced (atomic publish), so the correct recovery is: re-read
+    the table, re-derive the write, retry."""
+
+
 class IceliteTable:
     def __init__(self, root: str, name: str):
         self.base = os.path.join(root, name)
@@ -79,8 +87,19 @@ class IceliteTable:
             **meta,
         }
         snap_name = f"snap-{sid:06d}.json"
-        with open(os.path.join(self.meta_dir, snap_name), "w") as f:
-            json.dump(meta, f, indent=1)
+        # optimistic concurrency (CAS): O_EXCL creation makes the
+        # snapshot file the commit token — two writers that both read
+        # parent sid-1 race for this create; the loser gets a clean
+        # conflict error instead of silently overwriting the winner's
+        # snapshot (its data dir stays unreferenced, nothing corrupts)
+        try:
+            with open(os.path.join(self.meta_dir, snap_name), "x") as f:
+                json.dump(meta, f, indent=1)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"snapshot {sid} was committed by another writer; "
+                "re-read the table and retry the write"
+            ) from None
         # atomic pointer swap: write temp then rename (POSIX atomic)
         tmp = os.path.join(self.meta_dir, f".current.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:

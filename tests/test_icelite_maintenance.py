@@ -67,3 +67,40 @@ def test_compact_preserves_checksum_then_vacuum(spark, tmp_path):
     t.vacuum(keep_last=1)
     assert len([d for d in os.listdir(data) if d.startswith("d-")]) == 1
     assert _checksum(spark, t) == (ck0, n0)
+
+
+def test_concurrent_writer_conflict_is_clean(spark, tmp_path):
+    """Optimistic concurrency: a writer holding a STALE view of the
+    table must get ConcurrentWriteError (Iceberg CommitFailedException
+    semantics), the winner's snapshot must be untouched, and a retry
+    with a fresh view must succeed."""
+    import json
+
+    import pytest
+
+    from hand_index_spark.tables.icelite import ConcurrentWriteError
+
+    t1 = IceliteTable(str(tmp_path), "t")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t1.write(df, stage="a", lineage_key="k")          # snapshot 0
+    t1.write(df, stage="b", lineage_key="k")          # snapshot 1 (winner)
+
+    # a second writer that read the table BEFORE snapshot 1 landed
+    t2 = IceliteTable(str(tmp_path), "t")
+    with open(os.path.join(str(tmp_path), "t", "_meta", "snap-000000.json")) as f:
+        stale = json.load(f)
+    t2.current_snapshot = lambda: stale  # freeze its stale view
+    with pytest.raises(ConcurrentWriteError):
+        t2.write(df, stage="c", lineage_key="k")
+
+    # the winner is intact; the loser published nothing
+    assert t1.current_snapshot()["snapshot_id"] == 1
+    assert t1.current_snapshot()["stage"] == "b"
+    assert t1.read(spark).count() == 10
+    # retry with a fresh view commits cleanly as snapshot 2
+    t3 = IceliteTable(str(tmp_path), "t")
+    snap = t3.write(df, stage="c", lineage_key="k")
+    assert snap["snapshot_id"] == 2
+    # the conflicting attempt's orphan data dir is reclaimable
+    removed = t3.vacuum(keep_last=3)
+    assert len(removed["removed_dirs"]) >= 1
