@@ -8,7 +8,8 @@ arithmetic, registered via the shared _register helper into GEO4/TEXT4.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F  # noqa: F401 (used by later queries)
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 from . import oracles
 from .operators import assign as A
@@ -189,6 +190,211 @@ _register(
            count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
     FROM documents GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Behavioral funnel (web-analytics table stakes over the events table):
+# ordered stage conversion view -> click -> purchase, each stage's
+# timestamp strictly after the previous user's stage time. Three keyed
+# aggregates — no self-joins beyond the stage chain, each a broadcast-
+# able tiny frame at the user grain.
+
+
+def _q_funnel_conversion(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+_register(
+    TEXT4,
+    "funnel_conversion",
+    _q_funnel_conversion,
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_buy
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval over the documents corpus (text-pipeline table
+# stakes the registry lacked): explode tokens -> per-doc term freq ->
+# document freq -> idf join -> score sum. All Catalyst; the one libm
+# call (ln in idf) is 1-ulp-safe under the in-query round(6) on scores
+# of magnitude O(1-10).
+
+_BM25_TERMS = ("table", "scan", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _q_bm25_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar, deterministic
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    avgdl_row = (
+        d.select(F.size(F.split("text", " ")).alias("dl"))
+        .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    # exact: integer sum / integer count, one IEEE division
+    avgdl = float(avgdl_row.s) / avgdl_row.n
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(dl, "doc_id")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
+                )
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "doc_id", "score", "n_terms_hit")
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), dl AS (
+        SELECT doc_id, len(toks) AS dl FROM d
+    ), stats AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS n_docs
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        WHERE tok IN ({terms})
+        GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ), scored AS (
+        SELECT tf.doc_id,
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * {_BM25_K1 + 1.0!r})
+                 / (tf.tf + {_BM25_K1!r}
+                    * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl.dl / s.avgdl))
+                 AS term_score
+        FROM tf JOIN df ON df.tok = tf.tok
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    ), agg AS (
+        SELECT doc_id, round(sum(term_score), 6) AS score,
+               count(*) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, score, n_terms_hit
+    FROM agg
+    QUALIFY rank <= 20
+    """
+
+
+_register(TEXT4, "bm25_search", _q_bm25_search, _bm25_sql())
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: keep ~20% of docs per lang via a
+# closed-form hash filter — the reproducible sampling a training
+# pipeline needs (TABLESAMPLE is seed/partition-dependent; a hash of
+# the row key is stable across engines, retries and cluster sizes).
+
+
+def _q_stratified_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    keep = ((F.col("doc_id") * 2654435761 + 12289) % F.lit(1000003)) % 5 == 0
+    s = d.filter(keep)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_register(
+    TEXT4,
+    "stratified_sample",
+    _q_stratified_sample,
+    """
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE ((doc_id * 2654435761 + 12289) % 1000003) % 5 = 0
+    GROUP BY lang
     """,
 )
 
