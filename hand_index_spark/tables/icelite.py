@@ -259,6 +259,25 @@ class IceliteTable:
             merged, stage=stage, fingerprint=fingerprint, lineage_key=key
         )
 
+    def delete(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key: str,
+        stage: str = "delete",
+        fingerprint: str = "",
+    ) -> dict:
+        """Row-level DELETE (copy-on-write, like :meth:`merge` without
+        the insert side): rows whose ``key`` appears in ``keys`` are
+        removed in one atomic snapshot. Pre-delete snapshots remain
+        time-travelable until vacuumed — which is also the compliance
+        story: a takedown = delete + vacuum."""
+        cur = self.read(spark)
+        kept = cur.join(keys.select(key).distinct(), key, "left_anti")
+        return self.write(
+            kept, stage=stage, fingerprint=fingerprint, lineage_key=key
+        )
+
     # --------------------------------------------------------------- compact
 
     def compact(

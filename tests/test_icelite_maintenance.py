@@ -104,3 +104,25 @@ def test_concurrent_writer_conflict_is_clean(spark, tmp_path):
     # the conflicting attempt's orphan data dir is reclaimable
     removed = t3.vacuum(keep_last=3)
     assert len(removed["removed_dirs"]) >= 1
+
+
+def test_delete_then_vacuum_is_a_takedown(spark, tmp_path):
+    t = IceliteTable(str(tmp_path), "d")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    t.write(df, stage="base", lineage_key="k")
+    sid0 = t.current_snapshot()["snapshot_id"]
+
+    bad = spark.range(10, 30).select(F.col("id").alias("k"))
+    t.delete(spark, bad, "k", fingerprint="takedown1")
+    left = sorted(r.k for r in t.read(spark).collect())
+    assert left == [k for k in range(100) if not 10 <= k < 30]
+    # still time-travelable pre-delete...
+    assert t.read_snapshot(spark, sid0).count() == 100
+    # ...until vacuum finalizes the takedown (old data dirs gone)
+    t.vacuum(keep_last=1)
+    import os as _os
+
+    data = _os.path.join(str(tmp_path), "d", "data")
+    assert len([d for d in _os.listdir(data) if d.startswith("d-")]) == 1
+    assert t.read(spark).count() == 80
+    assert t.stage_done("delete", "takedown1")  # idempotent resume guard
