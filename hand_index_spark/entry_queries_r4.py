@@ -195,6 +195,57 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# Streaming deduplication: dropDuplicatesWithinWatermark on a live feed
+# — the continuous twin of the exact-dedup pre-pass (a crawler re-sees
+# the same url within the watermark horizon; state is bounded by it).
+# Duplicate events are synthesized by unioning the feed with itself;
+# the oracle is plain batch DISTINCT.
+
+
+def _q_stream_dedup(spark, sf_dir):
+    import os
+    import uuid
+
+    from .entry_queries_r2 import _fresh_dir
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = _fresh_dir("sdedup_src_")
+    os.symlink(path, os.path.join(src, "events.parquet"))
+    feed = spark.readStream.schema(schema).parquet(src)
+    doubled = feed.unionByName(feed)  # every event arrives twice
+    deduped = (
+        doubled.select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+        )
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_register(
+    TEXT4,
+    "stream_dedup",
+    _q_stream_dedup,
+    """
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # Behavioral funnel (web-analytics table stakes over the events table):
 # ordered stage conversion view -> click -> purchase, each stage's
 # timestamp strictly after the previous user's stage time. Three keyed
