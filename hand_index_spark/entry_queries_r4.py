@@ -246,6 +246,85 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# Bigram language-model quality scoring (the LM-filter stage of a
+# training-data pipeline): train add-one-smoothed bigram stats on the
+# corpus itself, score every doc by mean log P(w2|w1). Pure Catalyst
+# (token explode -> global counts -> joins -> agg); the per-doc mean of
+# ~20 ln() terms rounds to 4dp (partition-order float-sum slack ~1e-15).
+
+
+def _q_lm_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i + 1).alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = d.select(F.explode(F.split("text", " ")).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(vocab)
+        .withColumn(
+            "logp", F.log((F.col("c2") + F.lit(1)) / (F.col("c1") + F.col("v")))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("logp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )
+
+
+_register(
+    TEXT4,
+    "lm_score",
+    _q_lm_score,
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi0 AS (
+        -- scalar range() yields a LIST (lateral table functions can't
+        -- see t here), so bigrams come from list_transform + unnest
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> struct_pack(w1 := t[i],
+                                                      w2 := t[i + 1]))) AS b
+        FROM toks
+    ), bi AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi0
+    ), bc AS (
+        SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+    ), vocab AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    )
+    SELECT bi.doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln((bc.c2 + 1) / (ctx.c1 + vocab.v))) / count(*), 4)
+             AS avg_logprob
+    FROM bi JOIN bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
+    JOIN ctx ON ctx.w1 = bi.w1
+    CROSS JOIN vocab
+    GROUP BY bi.doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # Behavioral funnel (web-analytics table stakes over the events table):
 # ordered stage conversion view -> click -> purchase, each stage's
 # timestamp strictly after the previous user's stage time. Three keyed
