@@ -325,6 +325,65 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# Grouped embedding pooling (class centroids — the "mean vector per
+# label" aggregate an embedding pipeline runs constantly): posexplode
+# -> per-(lang, component) QUANTIZED integer sums (order-free, the
+# k-means trick) -> centroid norm. One shuffle on (lang, pos).
+
+_CENT_Q = 1024.0
+
+
+def _q_lang_centroids(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = _t(spark, sf_dir, "embeddings")
+    j = e.join(d, e.vec_id == d.doc_id).select(
+        "lang", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    pe = j.select("lang", F.posexplode("e").alias("pos", "val"))
+    comp = pe.groupBy("lang", "pos").agg(
+        F.sum(
+            F.floor(F.col("val") * F.lit(_CENT_Q) + F.lit(0.5)).cast("long")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cm = comp.withColumn(
+        "m", F.col("s").cast("double") / (F.lit(_CENT_Q) * F.col("cnt"))
+    )
+    return cm.groupBy("lang").agg(
+        (F.max("cnt")).alias("n_vecs"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+    )
+
+
+_register(
+    TEXT4,
+    "lang_centroids",
+    _q_lang_centroids,
+    f"""
+    WITH j AS (
+        SELECT d.lang,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ), pe AS (
+        SELECT lang, u.pos AS pos, e[u.pos] AS val
+        FROM j, (SELECT unnest(range(1, 65)) AS pos) u
+    ), comp AS (
+        SELECT lang, pos,
+               sum(CAST(floor(val * {_CENT_Q!r} + 0.5) AS BIGINT)) AS s,
+               count(*) AS cnt
+        FROM pe GROUP BY lang, pos
+    ), cm AS (
+        SELECT lang, pos, CAST(s AS DOUBLE) / ({_CENT_Q!r} * cnt) AS m, cnt
+        FROM comp
+    )
+    SELECT lang, max(cnt) AS n_vecs,
+           round(sqrt(sum(m * m)), 6) AS centroid_norm
+    FROM cm GROUP BY lang
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # Behavioral funnel (web-analytics table stakes over the events table):
 # ordered stage conversion view -> click -> purchase, each stage's
 # timestamp strictly after the previous user's stage time. Three keyed
