@@ -384,6 +384,110 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# Train/eval DECONTAMINATION — the modern LLM-data hygiene op the
+# registry lacked. The synthetic eval set is every 50th doc; the
+# "training" rest is scrubbed two ways:
+#   exact: drop any training doc whose sha256(text) appears in eval;
+#   n-gram: drop any training doc sharing ANY 8-token shingle with
+#   eval (the published decontamination method) — shingle explode +
+#   left-anti semi-join on the shingle string, no hashing needed for
+#   the oracle and no cross join anywhere.
+
+
+def _shingles(df, n=8):
+    t = F.split("text", " ")
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - F.lit(n), F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, i + 1, n)
+                ),
+            )
+        ).alias("sh"),
+    )
+
+
+def _q_decontam_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    ev_sha = ev.select(F.sha2("text", 256).alias("sha")).distinct()
+    kept = train.withColumn("sha", F.sha2("text", 256)).join(
+        ev_sha, "sha", "left_anti"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_register(
+    TEXT4,
+    "decontam_exact",
+    _q_decontam_exact,
+    """
+    SELECT lang, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents t
+    WHERE t.doc_id % 50 != 0
+      AND sha256(t.text) NOT IN (
+        SELECT sha256(text) FROM documents WHERE doc_id % 50 = 0
+      )
+    GROUP BY lang
+    """,
+)
+
+
+def _q_decontam_ngram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    ev_sh = _shingles(ev).select("sh").distinct()
+    dirty = (
+        _shingles(train)
+        .join(ev_sh, "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = train.join(dirty, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_register(
+    TEXT4,
+    "decontam_ngram",
+    _q_decontam_ngram,
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 8 + 1, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i : i + 7], ' ')
+               )) AS sh
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT s.sh FROM sh s WHERE s.doc_id % 50 = 0
+    ), dirty AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN ev ON ev.sh = s.sh
+        WHERE s.doc_id % 50 != 0
+    )
+    SELECT t.lang, count(*) AS n_kept,
+           CAST(sum(t.n_chars) AS BIGINT) AS sum_chars
+    FROM documents t
+    WHERE t.doc_id % 50 != 0
+      AND t.doc_id NOT IN (SELECT doc_id FROM dirty)
+    GROUP BY t.lang
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # Behavioral funnel (web-analytics table stakes over the events table):
 # ordered stage conversion view -> click -> purchase, each stage's
 # timestamp strictly after the previous user's stage time. Three keyed
