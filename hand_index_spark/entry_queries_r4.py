@@ -488,6 +488,112 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# DEM-style raster statistics through the REAL decode path (the
+# reference's domain is HAND/REM elevation rasters; its index stores
+# file paths — this computes actual per-tile terrain stats the way a
+# 100 TB raster pipeline would): synthesize a PNG "elevation tile" per
+# doc from a closed-form surface, decode it with the from-scratch
+# codec, and compute max |∂x| / max |∂y| slope and ruggedness
+# vectorized in the Arrow batch. The oracle recomputes the surface
+# arithmetic directly — end-to-end proof that real decoded bytes feed
+# the terrain math.
+
+_DEM_RULE = "z(y, x) = (3*x + 5*y + (x*y) % 7 + doc_id) % 256, w = 8 + doc_id % 5, h = 8 + doc_id % 3"
+
+
+def _q_dem_slope_stats(spark, sf_dir):
+    import pandas as _pd
+
+    from .functions import codecs as C
+
+    d = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + did % 5
+                h = 8 + did % 3
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                z = ((3 * x + 5 * y + (x * y) % 7 + did) % 256).astype(np.uint8)
+                rows.append((did, C.png_encode(z)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+                z = C.png_decode(bytes(blob))[:, :, 0].astype(np.int64)
+                dx = np.abs(np.diff(z, axis=1))
+                dy = np.abs(np.diff(z, axis=0))
+                rows.append(
+                    (
+                        int(did),
+                        int(z.shape[1]),
+                        int(z.shape[0]),
+                        int(dx.max()),
+                        int(dy.max()),
+                        int(dx.sum() + dy.sum()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "w", "h", "max_dx", "max_dy", "ruggedness"],
+            )
+
+    return payloads.mapInPandas(
+        stats,
+        schema="doc_id long, w int, h int, max_dx long, max_dy long, ruggedness long",
+    )
+
+
+_register(
+    TEXT4,
+    "dem_slope_stats",
+    _q_dem_slope_stats,
+    """
+    WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h, t1.x AS x, t2.y AS y,
+               (3 * t1.x + 5 * t2.y + (t1.x * t2.y) % 7 + d.doc_id) % 256 AS z
+        FROM dims d, range(0, 13) t1(x), range(0, 11) t2(y)
+        WHERE t1.x < d.w AND t2.y < d.h
+    ), dx AS (
+        SELECT a.doc_id, abs(b.z - a.z) AS g
+        FROM px a JOIN px b
+          ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        WHERE b.x < (SELECT w FROM dims WHERE dims.doc_id = a.doc_id)
+    ), dy AS (
+        SELECT a.doc_id, abs(b.z - a.z) AS g
+        FROM px a JOIN px b
+          ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y + 1
+    )
+    SELECT d.doc_id,
+           CAST(max(d.w) AS INTEGER) AS w,
+           CAST(max(d.h) AS INTEGER) AS h,
+           CAST((SELECT max(g) FROM dx WHERE dx.doc_id = d.doc_id) AS BIGINT)
+             AS max_dx,
+           CAST((SELECT max(g) FROM dy WHERE dy.doc_id = d.doc_id) AS BIGINT)
+             AS max_dy,
+           CAST((SELECT sum(g) FROM dx WHERE dx.doc_id = d.doc_id)
+                + (SELECT sum(g) FROM dy WHERE dy.doc_id = d.doc_id) AS BIGINT)
+             AS ruggedness
+    FROM dims d GROUP BY d.doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # Behavioral funnel (web-analytics table stakes over the events table):
 # ordered stage conversion view -> click -> purchase, each stage's
 # timestamp strictly after the previous user's stage time. Three keyed
