@@ -148,7 +148,15 @@ def _signatures_from_sets(
     only). hash_mode="xxhash64": the production hash (full-entropy,
     JVM-side, not oracle-expressible) — what a real deployment runs;
     recall at scale parameters is measured with this
-    (scripts/recall_bench.py)."""
+    (scripts/recall_bench.py).
+
+    Plan-shape note (r4, measured): a shuffle-free array_min(transform)
+    rewrite was A/B'd at 1M docs and did NOT win — naive per-perm HOFs
+    were 3-4x SLOWER (higher-order functions evaluate interpreted and
+    re-hash per permutation), and sharing the hash array only reached
+    parity (0.39 vs 0.44 s) — because this explode + groupBy(min) form
+    partial-aggregates MAP-SIDE: the exchange carries ~one row per doc,
+    not one per token, so there is no 18x shuffle to save. Kept as-is."""
     toks = sets.select(id_col, F.explode("ws").alias("tok"))
     if hash_mode == "xxhash64":
         h = F.pmod(F.xxhash64(F.col("tok")), F.lit(MINHASH_P))
