@@ -51,6 +51,11 @@ def asof_join(
     the greatest first right_col, deterministically). Left rows keep
     all their columns; matched right attributes arrive as
     ``{prefix}{col}``; unmatched rows get nulls.
+
+    Null semantics: rows with a null key or null timestamp are the
+    caller's to filter — a null-ts left row sorts before every right
+    row of its key (nulls-first) and therefore matches nothing; null
+    keys group together and only see null-key right rows.
     """
     lk, rk = F.col(left_key), F.col(right_key)
     l_tagged = left.select(

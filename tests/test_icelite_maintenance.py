@@ -126,3 +126,57 @@ def test_delete_then_vacuum_is_a_takedown(spark, tmp_path):
     assert len([d for d in _os.listdir(data) if d.startswith("d-")]) == 1
     assert t.read(spark).count() == 80
     assert t.stage_done("delete", "takedown1")  # idempotent resume guard
+
+
+def test_model_based_op_sequence(spark, tmp_path):
+    """Model-based consistency fuzz: a seeded random sequence of
+    write/append/merge/delete/compact ops applied to an IceliteTable
+    must match a plain python-dict model after every step."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    t = IceliteTable(str(tmp_path), "fuzz")
+    model: dict[int, int] = {}
+
+    def mk_df(items):
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in items], "k long, v long"
+        )
+
+    # initial write
+    init = {int(k): int(k * 10) for k in range(50)}
+    model.update(init)
+    t.write(mk_df(init.items()), stage="init", lineage_key="k")
+
+    for step in range(8):
+        op = rng.choice(["merge", "delete", "append", "compact"])
+        if op == "merge":
+            ks = rng.choice(200, size=rng.integers(1, 20), replace=False)
+            ups = {int(k): int(step * 1000 + k) for k in ks}
+            model.update(ups)
+            t.merge(spark, mk_df(ups.items()), "k", fingerprint=f"m{step}")
+        elif op == "delete":
+            ks = [int(k) for k in rng.choice(200, size=rng.integers(1, 15), replace=False)]
+            for k in ks:
+                model.pop(k, None)
+            t.delete(
+                spark,
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+                "k",
+                fingerprint=f"d{step}",
+            )
+        elif op == "append":
+            # append NEW keys only (append mode does not dedup)
+            fresh = {
+                int(k) + 1000 * (step + 1): int(step)
+                for k in rng.choice(50, size=5, replace=False)
+            }
+            model.update(fresh)
+            t.write(
+                mk_df(fresh.items()), stage=f"app{step}",
+                mode="append", lineage_key="k",
+            )
+        else:
+            t.compact(spark, stage=f"c{step}")
+        got = {r.k: r.v for r in t.read(spark).collect()}
+        assert got == model, (step, op)

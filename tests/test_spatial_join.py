@@ -130,3 +130,37 @@ def test_plan_no_broadcast_no_python(spark):
         assert bad not in plan, bad
     assert "ShuffledHashJoin" in plan
     assert "Generate" in plan  # the Catalyst polyfill explode
+
+
+def test_raycast_agrees_with_convex_on_random_convex_polys(spark):
+    """For CONVEX rings the two PIP modes must agree on every
+    non-boundary point (boundary is measure-zero under random floats) —
+    catches winding/edge-direction bugs in either implementation."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for pid in range(20):
+        # random convex polygon: sorted angles around a center
+        c = rng.uniform([0, 0], [100, 100])
+        k = rng.integers(4, 9)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(2, 8)
+        ring = np.column_stack(
+            [c[0] + rad * np.cos(ang), c[1] + rad * np.sin(ang)]
+        )  # CCW by construction
+        rows.append(_ring_row(pid, ring))
+    polys = _polys_df(spark, rows)
+    pts = rng.uniform([0, 0], [100, 100], size=(1500, 2))
+    points = spark.createDataFrame(
+        pd.DataFrame({"pt_id": range(1500), "lon": pts[:, 0], "lat": pts[:, 1]})
+    )
+    kw = dict(xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax")
+    a = sorted(
+        (r.pt_id, r.pid)
+        for r in spatial_join_points_polys(points, polys, res=4, pip="convex", **kw).collect()
+    )
+    b = sorted(
+        (r.pt_id, r.pid)
+        for r in spatial_join_points_polys(points, polys, res=4, pip="raycast", **kw).collect()
+    )
+    assert a == b
+    assert len(a) > 20  # non-degenerate
