@@ -2,13 +2,15 @@
 
 ``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (80 queries as of round 3) and EVERY one carries a DuckDB
+SURVEY.md §2 (101 queries as of round 4) and EVERY one carries a DuckDB
 oracle — including the geo assignment (the tile grid is closed-form
 arithmetic, tables/tilegrid.py), the trig-bearing transforms (via
 discretization-safe comparisons), iterative graph clustering (via a
-recursive-CTE closure), and stateful streaming (via batch parity).
-Registry batches: entry_queries.py, entry_queries_ext.py,
-entry_queries_r2.py; see COVERAGE.md for the operator -> query map.
+recursive-CTE closure), stateful streaming (via batch parity), the
+no-broadcast join paths, temporal joins, sketches, and the icelite
+maintenance surface. Registry batches: entry_queries.py,
+entry_queries_ext.py, entry_queries_r2.py, entry_queries_r4.py; see
+COVERAGE.md for the operator -> query map.
 """
 
 from __future__ import annotations
