@@ -55,6 +55,11 @@ SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 4_000_000))
 CLEAN_PROBE_MS = float(os.environ.get("SPARK_GRAFT_CLEAN_PROBE_MS", 40.0))
 TARGET_CLEAN_SAMPLES = 3
 MAX_SAMPLES = int(os.environ.get("SPARK_GRAFT_MAX_SAMPLES", 10))
+# global wall budget: in a paging storm the retry-until-clean sampling
+# must not run the driver into a timeout — once the budget is spent,
+# every remaining query falls back to minimum sampling (3 samples, no
+# clean-window retries) and the weather tags say so
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", 480.0))
 # regression verdict: clean-window median worse than ref by more than
 # this ratio => fail (VERDICT asks ~1.3x re-land; 1.5 leaves margin for
 # residual same-window noise)
@@ -234,13 +239,14 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def time_query(spark, run_once):
+def time_query(spark, run_once, deadline=None):
     """Weather-gated sampling. Returns (best_window_sec, info dict).
 
     Every sample is (probe_ms, sec) with the probe taken immediately
     before the run. Clean = probe <= CLEAN_PROBE_MS. Stop at
-    TARGET_CLEAN_SAMPLES clean samples or MAX_SAMPLES total; the
-    best-window median is over the clean set when it is non-empty,
+    TARGET_CLEAN_SAMPLES clean samples or MAX_SAMPLES total — or at 3
+    samples once the global ``deadline`` has passed (timeout guard);
+    the best-window median is over the clean set when it is non-empty,
     else over the 3 lowest-probe samples (tagged clean=false)."""
 
     def one_sample():
@@ -265,7 +271,15 @@ def time_query(spark, run_once):
 
     samples: list[tuple[float, float]] = []
     clean: list[tuple[float, float]] = []
+    over_budget = False
     while len(clean) < TARGET_CLEAN_SAMPLES and len(samples) < MAX_SAMPLES:
+        if (
+            deadline is not None
+            and time.monotonic() > deadline
+            and len(samples) >= TARGET_CLEAN_SAMPLES
+        ):
+            over_budget = True
+            break
         s = one_sample()
         samples.append(s)
         if s[0] <= CLEAN_PROBE_MS:
@@ -278,6 +292,8 @@ def time_query(spark, run_once):
         "all_samples": [[p, round(sec, 3)] for p, sec in samples],
         "cpu_mops": _cpu_probe_mops(),
     }
+    if over_budget:
+        info["over_budget"] = True
     return best, info
 
 
@@ -377,6 +393,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     weather: dict[str, dict] = {}
     dedup_ctx = None
+    deadline = time.monotonic() + BENCH_BUDGET_S
     for name, (setup, fn) in queries.items():
         ctx = setup() if setup is not None else None
         if name == "dedup_pairs_1m":
@@ -388,7 +405,7 @@ def main() -> None:
             # localCheckpoints) are measured end-to-end
             fn(ctx).write.format("noop").mode("overwrite").save()
 
-        timings[name], weather[name] = time_query(spark, run_once)
+        timings[name], weather[name] = time_query(spark, run_once, deadline)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     total = round(sum(timings.values()), 3)
