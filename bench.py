@@ -264,6 +264,11 @@ def time_query(spark, run_once, deadline=None):
     # cold runs are dominated by kernel time)
     prev = None
     for _ in range(5):
+        # warm-up honours the global budget too: in a paging storm five
+        # untimed runs per query can blow the driver deadline before
+        # sampling even starts
+        if deadline is not None and time.monotonic() > deadline:
+            break
         _, cur = one_sample()
         if prev is not None and abs(cur - prev) <= 0.2 * prev:
             break
@@ -365,6 +370,7 @@ def regression_verdict(timings, weather, config):
                 "skipped": f"config mismatch: run {config} vs ref {ref_cfg}"}
     per_query = {}
     ok = True
+    n_judged = 0
     for name, sec in timings.items():
         rsec = ref.get("queries", {}).get(name)
         if rsec is None or not weather[name]["clean"]:
@@ -373,7 +379,14 @@ def regression_verdict(timings, weather, config):
         ratio = round(sec / rsec, 2)
         judged_pass = ratio <= REGRESSION_FAIL_RATIO
         ok = ok and judged_pass
+        n_judged += 1
         per_query[name] = {"ratio": ratio, "judged": True, "pass": judged_pass}
+    if n_judged == 0:
+        # every window was dirty: no comparison happened, so a green
+        # verdict would be vacuous — report null like the config-mismatch
+        # path
+        return {"ref": ref.get("source"), "pass": None, "per_query": per_query,
+                "skipped": "no clean windows: zero queries judged"}
     return {"ref": ref.get("source"), "pass": ok, "per_query": per_query}
 
 
@@ -437,7 +450,32 @@ def main() -> None:
     # ms to seconds = the numbers above are host-bound, not engine-bound
     out["page_touch_ms_before"] = weather0
     out["page_touch_ms_after"] = _page_touch_ms()
-    print(json.dumps(out))
+    # The driver captures only a ~2 kB tail of stdout and parses the FINAL
+    # line as JSON (r4's single fat line overflowed it and the round lost
+    # its bench record). Full payload goes to a file + an early stdout
+    # line; the last line is a compact headline guaranteed < ~1 kB.
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/bench_full.json", "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    print(json.dumps(out))  # early line: full payload for human readers
+    reg = out.get("regression") or {}
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "assign_rows_per_sec": out["assign_rows_per_sec"],
+        "all_clean": all(w.get("clean") for w in weather.values()),
+        "regression_pass": reg.get("pass"),
+        "full_payload": "BENCH/bench_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guard: never regress the driver contract
+        line = json.dumps({k: compact[k] for k in
+                           ("metric", "value", "unit", "queries", "sf")})
+    print(line)
     spark.stop()
 
 

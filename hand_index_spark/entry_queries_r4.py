@@ -255,7 +255,13 @@ _register(
 
 def _q_lm_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # docs with < 2 tokens have no bigrams: filter BEFORE the transform —
+    # sequence(0, size-2) on a 1-token doc is the descending [0,-1] and
+    # element_at(t, 0) throws (r4 advice); the DuckDB oracle's range()
+    # just emits no rows for such docs
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
     bi = toks.select(
         "doc_id",
         F.explode(
@@ -859,8 +865,6 @@ _register(
 
 
 def _q_spatial_join_generic(spark, sf_dir):
-    import pandas as pd
-
     from .operators.assign import build_tile_index
     from .operators.spatial_join import spatial_join_points_polys
     from .pipelines.assign_tiles import web_pages_from_documents
@@ -872,7 +876,14 @@ def _q_spatial_join_generic(spark, sf_dir):
     q = ix.quad_corners  # (T, 4, 2) open quads -> closed rings
     rows = []
     for k, tid in enumerate(ix.ids):
-        ring = list(q[k].ravel()) + [float(q[k, 0, 0]), float(q[k, 0, 1])]
+        # Python floats + an explicit DDL schema: the driver's vanilla
+        # session has Arrow coercion off, and schema inference cannot
+        # handle numpy.float64 inside a list (r4 driver crash:
+        # CANNOT_INFER_TYPE_FOR_FIELD coords_flat).
+        ring = [float(v) for v in q[k].ravel()] + [
+            float(q[k, 0, 0]),
+            float(q[k, 0, 1]),
+        ]
         rows.append(
             (
                 int(tid),
@@ -884,9 +895,11 @@ def _q_spatial_join_generic(spark, sf_dir):
             )
         )
     polys = spark.createDataFrame(
-        pd.DataFrame(
-            rows, columns=["tile_id", "coords_flat", "xmin", "ymin", "xmax", "ymax"]
-        )
+        rows,
+        schema=(
+            "tile_id long, coords_flat array<double>, "
+            "xmin double, ymin double, xmax double, ymax double"
+        ),
     )
     out = spatial_join_points_polys(
         pages, polys, res=0, pip="convex",

@@ -58,21 +58,36 @@ def asof_join(
     keys group together and only see null-key right rows.
     """
     lk, rk = F.col(left_key), F.col(right_key)
+    # All right attributes travel as ONE struct so the carried match is a
+    # single right ROW: per-column last(ignorenulls) would backfill a null
+    # attribute on the matched row from an OLDER right row, fabricating a
+    # mixed row that never existed. The struct itself is null on left
+    # rows (so ignorenulls skips them) and non-null on every right row,
+    # even when all its fields are null.
+    r_struct = F.struct(*[F.col(c) for c in right_cols])
+    r_tagged = right.select(
+        rk.alias("__k"),
+        _epoch(F.col(right_ts)).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).alias("__lrow_placeholder"),
+        r_struct.alias("__rrow"),
+        F.col(right_cols[0]).alias("__ord"),
+    )
     l_tagged = left.select(
         lk.alias("__k"),
         _epoch(F.col(left_ts)).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_tagged.schema["__rrow"].dataType).alias("__rrow"),
+        F.lit(None).cast(right.schema[right_cols[0]].dataType).alias("__ord"),
     )
-    r_tagged = right.select(
-        rk.alias("__k"),
-        _epoch(F.col(right_ts)).alias("__t"),
-        F.lit(0).alias("__is_left"),
-        F.lit(None).cast(
-            l_tagged.schema["__lrow"].dataType
-        ).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    r_tagged = r_tagged.select(
+        "__k",
+        "__t",
+        "__is_left",
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        "__rrow",
+        "__ord",
     )
     # one keyed timeline: right rows sort BEFORE left rows at equal t
     # (<= semantics); among equal-t right rows the last one wins — the
@@ -80,19 +95,16 @@ def asof_join(
     u = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__is_left", f"__r_{right_cols[0]}")
+        .orderBy("__t", "__is_left", "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_cols
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__match"),
     )
     out = carried.filter(F.col("__is_left") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"{prefix}{c}") for c in right_cols],
+        *[F.col("__match")[c].alias(f"{prefix}{c}") for c in right_cols],
     )
     return out
 

@@ -251,7 +251,25 @@ class IceliteTable:
         and time travel still reads the pre-merge snapshot. At scale the
         anti-join shuffles on the key like any equi-join (AQE-splittable);
         the rewrite cost is the copy-on-write trade, the same one
-        Iceberg's default MERGE makes."""
+        Iceberg's default MERGE makes.
+
+        Duplicate keys in ``updates`` would all be unioned in and silently
+        break the one-row-per-key contract downstream (Iceberg's MERGE
+        raises on multiple matches too), so key uniqueness is asserted
+        up front — one cheap agg over updates only.
+        """
+        dup = (
+            updates.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge updates contain duplicate key {key}={dup[0][0]!r}; "
+                "deduplicate updates before merging (one row per key)"
+            )
         cur = self.read(spark)
         kept = cur.join(updates.select(key).distinct(), key, "left_anti")
         merged = kept.unionByName(updates)

@@ -41,6 +41,21 @@ def test_merge_upsert_and_time_travel(spark, tmp_path):
     assert t.stage_done("merge", "m1")
 
 
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    """Duplicate keys in updates would silently break the one-row-per-key
+    upsert contract (Iceberg MERGE raises on multiple matches too)."""
+    import pytest
+
+    t = IceliteTable(str(tmp_path), "mdup")
+    base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.write(base, stage="base", lineage_key="k")
+    dup_updates = spark.createDataFrame([(3, -1), (3, -2)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge(spark, dup_updates, "k", fingerprint="bad")
+    # table unchanged: the failed merge committed nothing
+    assert {r.k: r.v for r in t.read(spark).collect()} == {k: 2 * k for k in range(10)}
+
+
 def test_compact_preserves_checksum_then_vacuum(spark, tmp_path):
     t = IceliteTable(str(tmp_path), "c")
     for i in range(3):

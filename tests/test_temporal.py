@@ -68,6 +68,51 @@ def test_asof_tie_takes_latest_right(spark):
     assert (r.asof_quote_id, r.asof_px) == (9, 2.0)  # <= includes equal ts
 
 
+def test_asof_null_attr_on_matched_row_stays_null(spark):
+    """The matched (latest) right row carries ALL its attributes, even
+    the null ones — per-column last(ignorenulls) would backfill the
+    null px from an older quote and fabricate a mixed row (r4 advice,
+    temporal.py)."""
+    trades = spark.createDataFrame(
+        [(1, 0, dt.datetime(2024, 1, 1, 12))], "trade_id long, sym long, t timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [
+            (7, 0, dt.datetime(2024, 1, 1, 10), 1.5),   # older, px non-null
+            (9, 0, dt.datetime(2024, 1, 1, 11), None),  # latest, px NULL
+        ],
+        "quote_id long, qsym long, qt timestamp, px double",
+    )
+    r = asof_join(trades, quotes, "sym", "qsym", "t", "qt", ["quote_id", "px"]).first()
+    assert r.asof_quote_id == 9
+    assert r.asof_px is None  # NOT backfilled from quote 7
+
+
+def test_asof_all_null_right_row_still_matches(spark):
+    """A right row whose every carried attribute is null is still a
+    real match (the struct carrier is non-null even when all fields
+    are null) — distinguishable from 'no match'."""
+    trades = spark.createDataFrame(
+        [
+            (1, 0, dt.datetime(2024, 1, 1, 12)),  # matches the all-null quote
+            (2, 5, dt.datetime(2024, 1, 1, 12)),  # no quote for sym 5 at all
+        ],
+        "trade_id long, sym long, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(None, 0, dt.datetime(2024, 1, 1, 11), None)],
+        "quote_id long, qsym long, qt timestamp, px double",
+    )
+    rows = {
+        r.trade_id: (r.asof_quote_id, r.asof_px)
+        for r in asof_join(
+            trades, quotes, "sym", "qsym", "t", "qt", ["quote_id", "px"]
+        ).collect()
+    }
+    assert rows[1] == (None, None)  # matched the all-null row
+    assert rows[2] == (None, None)  # genuinely unmatched
+
+
 def test_range_join_matches_bruteforce_and_plan(spark):
     trades, quotes = _mk(spark)
     band = 120.0
