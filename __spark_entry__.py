@@ -11,6 +11,17 @@ no-broadcast join paths, temporal joins, sketches, and the icelite
 maintenance surface. Registry batches: entry_queries.py,
 entry_queries_ext.py, entry_queries_r2.py, entry_queries_r4.py; see
 COVERAGE.md for the operator -> query map.
+
+Session requirements: NONE. Every query runs green under a bare
+``SparkSession.builder.getOrCreate()`` — no Arrow coercion, default
+timezone, default shuffle partitions (machine-checked:
+tests/test_vanilla_session.py drives ``scripts/verify_contract.py
+--vanilla`` over the bug-class-covering sample in a subprocess). All
+``createDataFrame`` fixtures pass explicit DDL schemas with pure-Python
+values. Timestamp idioms (epoch-cast comparisons) are offset-invariant,
+so key ordering never depends on the session timezone; queries that
+FORMAT timestamps assume the driver host's default timezone matches the
+oracle's (both UTC here, as the vanilla-session test exercises).
 """
 
 from __future__ import annotations

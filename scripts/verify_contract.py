@@ -5,6 +5,15 @@ through DuckDB at sf0.01 (row count + column names + exact values).
 
 Exit 0 = all green. Usage:
     python scripts/verify_contract.py [--sf-dir DIR] [--keys k1,k2,...]
+                                      [--vanilla]
+
+``--vanilla`` runs the contract under a bare
+``SparkSession.builder.getOrCreate()`` — NO repo confs (Arrow coercion
+off, default timezone, default shuffle partitions) — reproducing the
+driver's environment instead of the repo's. The r4
+``spatial_join_generic`` crash (numpy.float64 schema inference) only
+existed under such a session; this flag makes that bug class
+reproducible in-repo.
 """
 
 from __future__ import annotations
@@ -22,15 +31,31 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--keys", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="bare SparkSession, no repo confs (driver-environment replica)",
+    )
     args = ap.parse_args()
 
     import duckdb
     import pandas as pd
 
     import __spark_entry__ as E
-    from hand_index_spark.session import get_spark
 
-    spark = get_spark("verify_contract", master="local[8]", shuffle_partitions=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("verify_contract_vanilla")
+            .master("local[4]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from hand_index_spark.session import get_spark
+
+        spark = get_spark("verify_contract", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     df = E.entry(spark)
