@@ -697,3 +697,10 @@ from .entry_queries_r4 import GEO4, ORACLES4, TEXT4  # noqa: E402
 GEO_QUERIES.update(GEO4)
 TEXTOPS.update(TEXT4)
 ORACLES.update(ORACLES4)
+
+# batch 5 (round 5): Douglas-Peucker driver surface + additions
+from .entry_queries_r5 import GEO5, ORACLES5, TEXT5  # noqa: E402
+
+GEO_QUERIES.update(GEO5)
+TEXTOPS.update(TEXT5)
+ORACLES.update(ORACLES5)

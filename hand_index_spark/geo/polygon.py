@@ -353,7 +353,213 @@ def dissolve_rings(rings: list[np.ndarray]) -> list[np.ndarray] | None:
         if len(path) < 3:
             return None
         out.append(np.asarray(path, dtype=np.float64))
-    return out or None
+    if not out:
+        return None
+    # phase 4 (round 5): edge cancellation alone misses members that
+    # overlap WITHOUT sharing any edge (two offset squares came back as
+    # two stacked rings). A tiling's positive output rings are pairwise
+    # disjoint; any pair that intersects means the members overlapped ->
+    # not a tiling. (A legitimate island-inside-a-hole part would also
+    # trip this test — the caller then routes through overlay_union,
+    # which handles nesting exactly, so a false reject costs only time.)
+    pos = [r for r in out if ring_area(r) > 0.0]
+    for i in range(len(pos)):
+        for j in range(i + 1, len(pos)):
+            if rings_intersect(pos[i], pos[j]):
+                return None
+    return out
+
+
+def overlay_union(rings: list[np.ndarray]) -> list[np.ndarray] | None:
+    """True polygon union for GENUINELY OVERLAPPING simple rings — the
+    case :func:`dissolve_rings` rejects (reference ST_Union_Agg,
+    load.py:151-159, handles both; until round 5 overlap fell back to
+    the convex hull).
+
+    Planar-overlay construction, from scratch:
+
+    1. normalize members CCW and explode them into directed segments;
+    2. split every segment at every pairwise intersection — proper
+       crossings, T-junctions, and collinear overlaps — computing each
+       intersection point ONCE per segment pair so both fragments carry
+       the bit-identical float vertex (exact dict keys; no snapping);
+    3. keep a directed fragment iff the union covers its left side and
+       not its right side (midpoint nudged by a scale-relative epsilon
+       along each normal, tested against every member ring); co-directed
+       duplicate fragments (stacked geometry) collapse to one, and
+       interior fragments (both sides covered) vanish — including the
+       edge-matched-tiling case, so this kernel strictly generalizes
+       the dissolve;
+    4. stitch retained fragments into closed boundary cycles, keeping
+       the union's exterior on the right: at a multi-degree vertex the
+       continuation is the outgoing fragment making the sharpest
+       clockwise turn from the incoming direction.
+
+    Outer boundaries come out CCW (positive shoelace), holes CW
+    (negative). Returns open rings, or ``None`` when validation fails
+    (unconsumed fragments, unclosed cycles, or a union area outside
+    [max member, sum of members] — degenerate inputs); the caller may
+    then fall back to the convex hull, explicitly flagged.
+
+    Cost is O(E^2) in member edge count per group — the same "handful
+    of small polygons per branch" envelope as the dissolve; never
+    iterates over data rows.
+    """
+    # --- normalize: open CCW rings
+    polys: list[np.ndarray] = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) >= 2 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+            r = r[:-1]
+        if len(r) < 3:
+            return None
+        if ring_area(r) < 0.0:
+            r = r[::-1]
+        polys.append(r)
+    segs: list[tuple[float, float, float, float]] = []  # directed (ax,ay,bx,by)
+    for r in polys:
+        for i in range(len(r)):
+            a, b = r[i], r[(i + 1) % len(r)]
+            if a[0] == b[0] and a[1] == b[1]:
+                continue
+            segs.append((a[0], a[1], b[0], b[1]))
+    if not segs:
+        return None
+    all_pts = np.concatenate(polys, axis=0)
+    scale = max(
+        float(all_pts[:, 0].max() - all_pts[:, 0].min()),
+        float(all_pts[:, 1].max() - all_pts[:, 1].min()),
+        1e-12,
+    )
+    eps_t = 1e-12  # parametric tolerance for on-segment tests
+    cuts: list[list[tuple[float, tuple[float, float]]]] = [[] for _ in segs]
+
+    # --- pairwise splits (each pair computes canonical shared points)
+    for i in range(len(segs)):
+        ax, ay, bx, by = segs[i]
+        d1x, d1y = bx - ax, by - ay
+        for j in range(i + 1, len(segs)):
+            qx, qy, rx, ry = segs[j]
+            d2x, d2y = rx - qx, ry - qy
+            denom = d1x * d2y - d1y * d2x
+            ex, ey = qx - ax, qy - ay
+            if abs(denom) > 1e-18 * scale * scale:
+                t = (ex * d2y - ey * d2x) / denom
+                u = (ex * d1y - ey * d1x) / denom
+                if -eps_t <= t <= 1 + eps_t and -eps_t <= u <= 1 + eps_t:
+                    # canonical point: reuse an exact endpoint when the
+                    # intersection IS one (T-junctions stay exact)
+                    if u <= eps_t:
+                        px, py = qx, qy
+                    elif u >= 1 - eps_t:
+                        px, py = rx, ry
+                    elif t <= eps_t:
+                        px, py = ax, ay
+                    elif t >= 1 - eps_t:
+                        px, py = bx, by
+                    else:
+                        px, py = ax + t * d1x, ay + t * d1y
+                    if eps_t < t < 1 - eps_t:
+                        cuts[i].append((t, (px, py)))
+                    if eps_t < u < 1 - eps_t:
+                        cuts[j].append((u, (px, py)))
+            else:
+                # parallel: collinear overlap splits at the other's endpoints
+                if abs(ex * d1y - ey * d1x) > 1e-12 * scale * scale:
+                    continue  # parallel, not collinear
+                len2 = d1x * d1x + d1y * d1y
+                for px, py in ((qx, qy), (rx, ry)):
+                    t = ((px - ax) * d1x + (py - ay) * d1y) / len2
+                    if eps_t < t < 1 - eps_t:
+                        cuts[i].append((t, (px, py)))
+                len2j = d2x * d2x + d2y * d2y
+                for px, py in ((ax, ay), (bx, by)):
+                    u = ((px - qx) * d2x + (py - qy) * d2y) / len2j
+                    if eps_t < u < 1 - eps_t:
+                        cuts[j].append((u, (px, py)))
+
+    # --- fragments, co-directed dedupe
+    frags: dict[tuple, None] = {}
+    for i, (ax, ay, bx, by) in enumerate(segs):
+        pts = [(0.0, (ax, ay))] + sorted(set(cuts[i])) + [(1.0, (bx, by))]
+        for (t0, p0), (t1, p1) in zip(pts[:-1], pts[1:]):
+            if p0 != p1:
+                frags[(p0, p1)] = None
+
+    # --- retention: left side covered, right side not
+    def covered(x: float, y: float) -> bool:
+        xs, ys = np.array([x]), np.array([y])
+        for r in polys:
+            if points_in_ring(xs, ys, r)[0]:
+                return True
+        return False
+
+    eps = scale * 7.3e-8  # non-round factor dodges lattice alignments
+    kept: list[tuple[tuple[float, float], tuple[float, float]]] = []
+    for (p0, p1) in frags:
+        mx, my = (p0[0] + p1[0]) / 2.0, (p0[1] + p1[1]) / 2.0
+        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+        nrm = float(np.hypot(dx, dy))
+        if nrm <= 0.0:
+            continue
+        lx, ly = -dy / nrm, dx / nrm  # left normal of the directed fragment
+        if covered(mx + eps * lx, my + eps * ly) and not covered(
+            mx - eps * lx, my - eps * ly
+        ):
+            kept.append((p0, p1))
+    if not kept:
+        return None
+
+    # --- stitch cycles, exterior kept on the right
+    out_adj: dict[tuple[float, float], list[tuple[float, float]]] = {}
+    for p0, p1 in kept:
+        out_adj.setdefault(p0, []).append(p1)
+    out: list[np.ndarray] = []
+    n_used = 0
+    while out_adj:
+        start = min(out_adj)
+        path = [start]
+        prev = None
+        cur = start
+        while True:
+            nxts = out_adj.get(cur)
+            if not nxts:
+                return None  # dead end: boundary does not close
+            if len(nxts) == 1 or prev is None:
+                nxt = nxts[0] if len(nxts) == 1 else min(nxts)
+            else:
+                # sharpest clockwise turn from the incoming direction
+                inx, iny = cur[0] - prev[0], cur[1] - prev[1]
+                base = np.arctan2(iny, inx)
+
+                def cw_turn(cand: tuple[float, float]) -> float:
+                    a = np.arctan2(cand[1] - cur[1], cand[0] - cur[0])
+                    d = (base + np.pi - a) % (2 * np.pi)  # cw from reversed-in
+                    return d if d > 1e-12 else 2 * np.pi
+
+                nxt = min(nxts, key=cw_turn)
+            nxts.remove(nxt)
+            n_used += 1
+            if not nxts:
+                del out_adj[cur]
+            if nxt == start:
+                break
+            path.append(nxt)
+            prev, cur = cur, nxt
+        if len(path) < 3:
+            return None
+        out.append(np.asarray(path, dtype=np.float64))
+    if n_used != len(kept):
+        return None
+    # --- validation: union area within [max member, sum of members]
+    areas = [ring_area(r) for r in out]
+    total = sum(areas)
+    member_areas = [ring_area(r) for r in polys]
+    if not (max(member_areas) - 1e-9 * scale * scale
+            <= total
+            <= sum(member_areas) + 1e-9 * scale * scale):
+        return None
+    return out
 
 
 # --------------------------------------------------------------- batch API

@@ -7,16 +7,24 @@ first shuffle, keyed on the group column, partial-aggregation-free by
 nature (geometry union is not decomposable into Spark's built-in
 partial aggs).
 
-Union kernel: **exact edge-cancellation dissolve**
-(geo/polygon.dissolve_rings) — interior edges shared by two members
-cancel, the surviving boundary edges stitch into the true (possibly
-concave, possibly holed) dissolved rings; centroid/area/bbox come from
-the signed-area-weighted ring sums, exact for edge-matched tilings
-(VERDICT r2 item 4: the L-shaped branch where hull != dissolve now
-yields the exact area). Members that genuinely overlap (not a tiling)
-fall back to the convex hull of all vertices — the documented
-over-approximation, which is also exact whenever the overlap region
-dissolves to a convex shape (true for the synthetic world).
+Union kernel, three tiers (each exact where it applies):
+
+1. **edge-cancellation dissolve** (geo/polygon.dissolve_rings) —
+   interior edges shared by two members cancel, the surviving boundary
+   edges stitch into the true (possibly concave, possibly holed)
+   dissolved rings; exact for edge-matched tilings, the reference's
+   actual data shape.
+2. **planar-overlay union** (geo/polygon.overlay_union, round 5) —
+   genuinely overlapping members: segments split at every pairwise
+   intersection, boundary fragments retained by two-sided coverage
+   tests, stitched into outer rings + holes. The true concave union
+   for overlap, holes included.
+3. **convex hull** — flagged last resort (``union_method = 'hull'``),
+   only when overlay validation rejects degenerate input. An
+   over-approximation, and reported as such.
+
+Centroid/area/bbox come from the signed-area-weighted ring sums of
+whichever tier produced the rings.
 """
 
 from __future__ import annotations
@@ -53,6 +61,9 @@ UNION_SCHEMA = StructType(
         StructField("ymax", DoubleType(), False),
         StructField("cx", DoubleType(), False),
         StructField("cy", DoubleType(), False),
+        # which union tier produced the rings: 'dissolve' | 'overlay' |
+        # 'hull' (the flagged over-approximation last resort)
+        StructField("union_method", StringType(), False),
     ]
 )
 
@@ -69,8 +80,13 @@ def _union_one(key: tuple, pdf: pd.DataFrame, simplify_tol: float) -> pd.DataFra
     if not pts:
         return pd.DataFrame(columns=[f.name for f in UNION_SCHEMA.fields])
     rings = P.dissolve_rings(pts)
-    if rings is None:  # overlapping members: convex-hull fallback
+    method = "dissolve"
+    if rings is None:  # overlapping members: true planar-overlay union
+        rings = P.overlay_union(pts)
+        method = "overlay"
+    if rings is None:  # degenerate input: flagged hull over-approximation
         rings = [P.convex_hull(np.concatenate(pts, axis=0))]
+        method = "hull"
     if simplify_tol > 0:
         rings = [P.douglas_peucker(r, simplify_tol)[:-1] for r in rings]
     # signed-area-weighted centroid over all parts (outers CCW positive,
@@ -118,6 +134,7 @@ def _union_one(key: tuple, pdf: pd.DataFrame, simplify_tol: float) -> pd.DataFra
             "ymax": [ymax],
             "cx": [cx],
             "cy": [cy],
+            "union_method": [method],
         }
     )
 

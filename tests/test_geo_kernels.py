@@ -319,3 +319,69 @@ def test_union_branches_dissolve_feeds_pipeline(spark):
     from hand_index_spark.geo import polygon as P
 
     assert abs(P.ring_area(ring) - 30000.0) == 0.0
+
+
+def test_overlay_union_exact_areas():
+    """True union for GENUINELY OVERLAPPING members (round-5 kernel,
+    geo/polygon.overlay_union): exact areas on the canonical cases."""
+    from hand_index_spark.geo import polygon as P
+
+    sq = lambda x0, y0, s: np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float
+    )
+
+    def total(rings):
+        return sum(P.ring_area(r) for r in rings)
+
+    # two 2x2 squares offset by (1,1): 4 + 4 - 1 = 7
+    u = P.overlay_union([sq(0, 0, 2), sq(1, 1, 2)])
+    assert u is not None and total(u) == 7.0 and len(u) == 1
+    # identical stacked squares collapse to one
+    u = P.overlay_union([sq(0, 0, 2), sq(0, 0, 2)])
+    assert u is not None and total(u) == 4.0 and len(u) == 1
+    # L over a square: 5 + 4 - 3 = 6
+    L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], float)
+    u = P.overlay_union([L, sq(0, 0, 2)])
+    assert u is not None and total(u) == 6.0 and len(u) == 1
+    # crossing rectangles (plus sign): 3 + 3 - 1 = 5
+    r1 = np.array([[0, 1], [3, 1], [3, 2], [0, 2]], float)
+    r2 = np.array([[1, 0], [2, 0], [2, 3], [1, 3]], float)
+    u = P.overlay_union([r1, r2])
+    assert u is not None and total(u) == 5.0 and len(u) == 1
+    # overlap creating a HOLE: U-shape + cap -> outer 9 CCW, hole -1.5 CW
+    U = np.array(
+        [[0, 0], [3, 0], [3, 3], [2, 3], [2, 1], [1, 1], [1, 3], [0, 3]], float
+    )
+    cap = np.array([[0, 2.5], [3, 2.5], [3, 3], [0, 3]], float)
+    u = P.overlay_union([U, cap])
+    assert u is not None and total(u) == 7.5
+    assert sorted(round(P.ring_area(r), 9) for r in u) == [-1.5, 9.0]
+    # edge-matched tiling also works (strict generalization of dissolve)
+    u = P.overlay_union([sq(0, 0, 1), sq(1, 0, 1)])
+    assert u is not None and total(u) == 2.0 and len(u) == 1
+    # 3-way overlap
+    u = P.overlay_union([sq(0, 0, 2), sq(1, 0, 2), sq(0.5, 1, 2)])
+    assert u is not None and abs(total(u) - 8.0) < 1e-12
+
+
+def test_union_branches_overlap_uses_overlay_not_hull(spark):
+    """Overlapping branch members now dissolve through the overlay
+    kernel (union_method='overlay') with the exact concave area — the
+    convex hull would report 8.0 for this L-shaped union, not 7.0."""
+    from hand_index_spark.geo import polygon as P
+    from hand_index_spark.geo import wkb as W
+    from hand_index_spark.operators.union_agg import union_branches
+
+    a = np.array([[0, 0], [200, 0], [200, 200], [0, 200]], float)
+    b = np.array([[100, 100], [300, 100], [300, 300], [100, 300]], float)
+    df = spark.createDataFrame(
+        [("br/ov/", bytearray(W.polygon_to_wkb([a]))),
+         ("br/ov/", bytearray(W.polygon_to_wkb([b])))],
+        "branch_path string, geom binary",
+    )
+    row = union_branches(df, simplify_tol=0.0).collect()[0]
+    assert row.union_method == "overlay"
+    ring = np.array(row.coords_flat).reshape(-1, 2)
+    # union area = 4e4 + 4e4 - 1e4 = 7e4 (hull would be 8.66e4+)
+    assert abs(abs(P.ring_area(ring)) - 70000.0) < 1e-9
+    assert (row.xmin, row.ymin, row.xmax, row.ymax) == (0.0, 0.0, 300.0, 300.0)

@@ -32,6 +32,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #   stateful streaming (applyInPandasWithState): stream_windowed
 KEYS = [
     "spatial_join_generic",
+    "simplify_ring",
     "wkb_roundtrip",
     "tile_assign",
     "asof_join_latest_order",
