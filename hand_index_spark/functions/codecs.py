@@ -360,8 +360,20 @@ def _dht_payload(tc_th: int, bits: list[int], symbols: list[int]) -> bytes:
     return bytes([tc_th]) + bytes(bits) + bytes(symbols)
 
 
-def jpeg_encode(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
-    """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes (4:4:4)."""
+def jpeg_encode(
+    arr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) or (h, w, 3) uint8 -> baseline JFIF bytes (4:4:4).
+
+    ``restart_interval`` > 0 emits a DRI marker and an RSTn marker every
+    that many MCUs (DC predictors reset, bitstream byte-aligned per
+    segment) — the spec's mechanism for making entropy segments
+    independently decodable, which jpeg_decode exploits to run the
+    otherwise bit-serial Huffman decode VECTORIZED across segments
+    (round-5 perf item; r4 documented entropy decode as the one
+    remaining serial ceiling)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and a.shape[2] != 3:
@@ -392,8 +404,15 @@ def jpeg_encode(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
         coef = _DCT_M @ blocks @ _DCT_M.T
         quant = np.floor(coef / q + 0.5).astype(np.int64)
         zz_by_comp.append(quant.reshape(-1, 64)[:, _ZIGZAG])
-    # DC differential per component: one vectorized diff
+    # DC differential per component: one vectorized diff; with restarts
+    # the predictor resets at each segment start (diff vs 0, not the
+    # previous segment's last DC)
+    ri = int(restart_interval)
     dcdiff_by_comp = [np.diff(zz[:, 0], prepend=0) for zz in zz_by_comp]
+    if ri > 0:
+        seg_starts = np.arange(ri, nby * nbx, ri)
+        for zz, d in zip(zz_by_comp, dcdiff_by_comp):
+            d[seg_starts] = zz[seg_starts, 0]
     # symbol emission (run-length structure is data-dependent, so this
     # stays a loop — but per BLOCK over precomputed nonzero positions,
     # and bit packing below is fully vectorized)
@@ -403,7 +422,9 @@ def jpeg_encode(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     zrl_code, zrl_len = _AC_CODES[0xF0]
     zz_lists = [zz.tolist() for zz in zz_by_comp]
     dc_lists = [d.tolist() for d in dcdiff_by_comp]
+    mcu_marks: list[int] = []  # symbol index at the start of each MCU
     for m in range(nby * nbx):
+        mcu_marks.append(len(vals))
         for ci in range(len(comps)):
             zz = zz_lists[ci][m]
             diff = dc_lists[ci][m]
@@ -444,7 +465,21 @@ def jpeg_encode(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
             if trailing:
                 vals.append(eob_code)
                 lens.append(eob_len)
-    data = _pack_entropy_bits(vals, lens)
+    nmcu = nby * nbx
+    if ri > 0:
+        # pack per restart segment (each byte-aligned, 1-padded) and
+        # join with cycling RST0..RST7 markers between segments
+        parts: list[bytes] = []
+        bounds = list(range(0, nmcu, ri)) + [nmcu]
+        for s in range(len(bounds) - 1):
+            lo = mcu_marks[bounds[s]]
+            hi = mcu_marks[bounds[s + 1]] if bounds[s + 1] < nmcu else len(vals)
+            if s:
+                parts.append(bytes([0xFF, 0xD0 + ((s - 1) % 8)]))
+            parts.append(_pack_entropy_bits(vals[lo:hi], lens[lo:hi]))
+        data = b"".join(parts)
+    else:
+        data = _pack_entropy_bits(vals, lens)
     ncomp = len(comps)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
@@ -459,6 +494,7 @@ def jpeg_encode(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
         + _marker(0xC0, sof)
         + _marker(0xC4, _dht_payload(0x00, _DC_BITS, _DC_SYMBOLS))
         + _marker(0xC4, _dht_payload(0x10, _AC_BITS, _AC_SYMBOLS))
+        + (_marker(0xDD, struct.pack(">H", ri)) if ri > 0 else b"")
         + _marker(0xDA, sos)
         + data
         + b"\xff\xd9"  # EOI
@@ -506,6 +542,125 @@ def _extend(amp: int, cat: int) -> int:
     return amp if amp >= (1 << (cat - 1)) else amp - (1 << cat) + 1
 
 
+def _decode_entropy_segments_vec(
+    segs: list[bytes],
+    seg_mcus: np.ndarray,
+    scan: list[tuple[int, int, int]],
+    htables: dict[int, tuple[np.ndarray, np.ndarray]],
+    ncomp: int,
+    nblocks: int,
+) -> np.ndarray:
+    """Huffman entropy decode VECTORIZED ACROSS restart segments.
+
+    Entropy decode is inherently bit-serial *within* a segment — every
+    code's start depends on the previous code's length — but restart
+    markers (JPEG's own mechanism for this) make segments independent:
+    byte-aligned, DC predictor reset. So the state machine runs as ONE
+    NumPy program over all S segments simultaneously: each iteration
+    decodes one Huffman symbol (+ its amplitude bits) in every still-
+    active segment via gathered 32-bit windows and the 16-bit-peek LUTs.
+    Python-loop iterations drop from (symbols total) to (symbols in the
+    longest segment) — the round-5 answer to r4's "entropy decode
+    remains bit-serial" ceiling.
+
+    Returns zigzag-ordered coefficients (ncomp, nblocks, 64); DC terms
+    are still per-segment DIFFS (caller applies the segmented cumsum).
+    """
+    S = len(segs)
+    lmax = max(len(s) for s in segs)
+    B = np.zeros((S, lmax + 4), dtype=np.uint8)
+    for si, s in enumerate(segs):
+        B[si, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    # per-component LUT stacks (components may use different tables)
+    dlen = np.stack([htables[0x00 | dc_t][0] for _k, dc_t, _a in scan])
+    dsym = np.stack([htables[0x00 | dc_t][1] for _k, dc_t, _a in scan])
+    alen = np.stack([htables[0x10 | ac_t][0] for _k, _d, ac_t in scan])
+    asym = np.stack([htables[0x10 | ac_t][1] for _k, _d, ac_t in scan])
+    comp_of_scan = np.array([k for k, _d, _a in scan], dtype=np.int64)
+    seg_block0 = np.concatenate([[0], np.cumsum(seg_mcus)[:-1]])
+
+    coefs = np.zeros((ncomp, nblocks, 64), dtype=np.int64)
+    bitpos = np.zeros(S, dtype=np.int64)
+    mcu = np.zeros(S, dtype=np.int64)
+    sc = np.zeros(S, dtype=np.int64)  # scan-component index
+    zi = np.zeros(S, dtype=np.int64)  # 0 = DC next, 1..63 = AC position
+    active = seg_mcus > 0
+    maxbits = np.array([8 * len(s) for s in segs], dtype=np.int64)
+    while active.any():
+        a = np.flatnonzero(active)
+        if (bitpos[a] > maxbits[a]).any():
+            raise ValueError("entropy segment overrun")
+        bp = bitpos[a] >> 3
+        sh = (bitpos[a] & 7).astype(np.int64)
+        w = (
+            (B[a, bp].astype(np.int64) << 24)
+            | (B[a, bp + 1].astype(np.int64) << 16)
+            | (B[a, bp + 2].astype(np.int64) << 8)
+            | B[a, bp + 3].astype(np.int64)
+        )
+        peek = (w >> (16 - sh)) & 0xFFFF
+        isdc = zi[a] == 0
+        length = np.where(
+            isdc, dlen[sc[a], peek], alen[sc[a], peek]
+        ).astype(np.int64)
+        sym = np.where(isdc, dsym[sc[a], peek], asym[sc[a], peek]).astype(np.int64)
+        if (length == 0).any():
+            raise ValueError("invalid Huffman code")
+        bitpos[a] += length
+        run = np.where(isdc, 0, sym >> 4)
+        cat = np.where(isdc, sym, sym & 0xF)
+        # amplitude bits (cat may be 0 -> mask reads 0 bits harmlessly)
+        bp = bitpos[a] >> 3
+        sh = (bitpos[a] & 7).astype(np.int64)
+        w = (
+            (B[a, bp].astype(np.int64) << 24)
+            | (B[a, bp + 1].astype(np.int64) << 16)
+            | (B[a, bp + 2].astype(np.int64) << 8)
+            | B[a, bp + 3].astype(np.int64)
+        )
+        amp = (w >> (32 - sh - cat)) & ((1 << cat) - 1)
+        bitpos[a] += cat
+        catm = np.maximum(cat, 1)
+        val = np.where(
+            cat == 0, 0, np.where(amp >= (1 << (catm - 1)), amp, amp - (1 << catm) + 1)
+        )
+        blockidx = seg_block0[a] + mcu[a]
+        comp = comp_of_scan[sc[a]]
+        # DC write (zigzag 0) + move to AC phase
+        dc_sel = isdc
+        if dc_sel.any():
+            coefs[comp[dc_sel], blockidx[dc_sel], 0] = val[dc_sel]
+        new_zi = zi[a].copy()
+        new_zi[dc_sel] = 1
+        # AC branches
+        ac = ~isdc
+        eob = ac & (sym == 0x00)
+        zrl = ac & (sym == 0xF0)
+        lit = ac & ~eob & ~zrl
+        if zrl.any():
+            new_zi[zrl] += 16
+        if lit.any():
+            pos = new_zi[lit] + run[lit]
+            if (pos > 63).any():
+                raise ValueError("AC run past block end")
+            coefs[comp[lit], blockidx[lit], pos] = val[lit]
+            new_zi[lit] = pos + 1
+        # block end: EOB, or AC position ran off the end
+        ended = eob | ((new_zi >= 64) & ~isdc)
+        new_zi[ended] = 0
+        zi[a] = new_zi
+        if ended.any():
+            e = a[ended]
+            sc[e] += 1
+            wrap = sc[e] == len(scan)
+            we = e[wrap]
+            sc[we] = 0
+            mcu[we] += 1
+            done = we[mcu[we] == seg_mcus[we]]
+            active[done] = False
+    return coefs
+
+
 def jpeg_decode(buf: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, ch) uint8. Supports the profile the
     encoder emits: 8-bit, 1 or 3 components, 1x1 sampling, one scan."""
@@ -519,6 +674,7 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     comps: list[tuple[int, int]] = []  # (comp_id, qtable_id)
     scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
     data_start = None
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -561,6 +717,8 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 symbols = list(body[i + 17 : i + 17 + n])
                 htables[tc_th] = _huff_lut(bits, symbols)
                 i += 17 + n
+        elif tag == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif tag == 0xDA:
             ns = body[0]
             by_id = {cid: k for k, (cid, _tq) in enumerate(comps)}
@@ -574,17 +732,52 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         raise ValueError("missing SOF/SOS")
     end = b.rfind(b"\xff\xd9")
     raw = b[data_start : end if end != -1 else len(b)]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    nby, nbx = ph // 8, pw // 8
+    nblocks = nby * nbx
+    if restart_interval > 0:
+        # split at RSTn markers (stuffing guarantees any FF followed by
+        # D0-D7 is a true marker), unstuff each segment, then decode all
+        # segments AT ONCE via the cross-segment vectorized state machine
+        ra = np.frombuffer(raw, dtype=np.uint8)
+        mpos = np.flatnonzero(
+            (ra[:-1] == 0xFF) & (ra[1:] >= 0xD0) & (ra[1:] <= 0xD7)
+        )
+        other = np.flatnonzero(ra[:-1] == 0xFF)
+        bad = ra[other + 1]
+        if ((bad != 0x00) & ((bad < 0xD0) | (bad > 0xD7))).any():
+            raise ValueError("unexpected marker in entropy data")
+        bounds = [0] + [int(p) for p in mpos] + [len(raw)]
+        segs = []
+        for s in range(len(bounds) - 1):
+            lo = bounds[s] + (2 if s else 0)  # skip the marker bytes
+            segs.append(raw[lo : bounds[s + 1]].replace(b"\xff\x00", b"\xff"))
+        n_expect = -(-nblocks // restart_interval)
+        if len(segs) != n_expect:
+            raise ValueError("restart segment count mismatch")
+        for s, p in enumerate(mpos):
+            if ra[p + 1] != 0xD0 + (s % 8):
+                raise ValueError("restart markers out of sequence")
+        seg_mcus = np.full(len(segs), restart_interval, dtype=np.int64)
+        seg_mcus[-1] = nblocks - restart_interval * (len(segs) - 1)
+        coefs = _decode_entropy_segments_vec(
+            segs, seg_mcus, scan, htables, len(comps), nblocks
+        )
+        # segmented DC cumsum: predictor resets at each restart
+        seg_starts = np.arange(0, nblocks, restart_interval)
+        cs = np.cumsum(coefs[:, :, 0], axis=1)
+        base = cs[:, seg_starts] - coefs[:, seg_starts, 0]
+        reps = np.diff(np.append(seg_starts, nblocks))
+        coefs[:, :, 0] = cs - np.repeat(base, reps, axis=1)
+        return _jpeg_blocks_to_image(coefs, comps, qtables, h, w, nby, nbx)
     # unstuff FF00 -> FF in one C-speed pass; any other 0xFF-marker
-    # inside entropy data (e.g. restart markers, unsupported) errors
-    # exactly like the old per-byte reader did
+    # inside entropy data (unsupported) errors exactly like the old
+    # per-byte reader did
     ra = np.frombuffer(raw, dtype=np.uint8)
     ffpos = np.flatnonzero(ra[:-1] == 0xFF)
     if len(ffpos) and (ra[ffpos + 1] != 0x00).any():
         raise ValueError("unexpected marker in entropy data")
     buf = raw.replace(b"\xff\x00", b"\xff")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    nby, nbx = ph // 8, pw // 8
-    nblocks = nby * nbx
     # entropy decode is inherently sequential, but each Huffman symbol
     # is now ONE 16-bit peek + LUT hit (not a per-bit dict walk), and
     # coefficients land in a preallocated (ncomp, nblocks, 64) array so
@@ -637,6 +830,23 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 i += 1
     # DC differential -> absolute: one cumsum per component
     coefs[:, :, 0] = np.cumsum(coefs[:, :, 0], axis=1)
+    return _jpeg_blocks_to_image(coefs, comps, qtables, h, w, nby, nbx)
+
+
+def _jpeg_blocks_to_image(
+    coefs: np.ndarray,
+    comps: list[tuple[int, int]],
+    qtables: dict[int, np.ndarray],
+    h: int,
+    w: int,
+    nby: int,
+    nbx: int,
+) -> np.ndarray:
+    """Dequantize + batched IDCT + color convert (shared by the scalar
+    and the restart-segment-vectorized entropy decoders). ``coefs`` is
+    zigzag-ordered (ncomp, nblocks, 64) with ABSOLUTE DC terms."""
+    ph, pw = nby * 8, nbx * 8
+    nblocks = nby * nbx
     planes = []
     for k, (_cid, tq) in enumerate(comps):
         q = qtables[tq]

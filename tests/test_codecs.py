@@ -243,3 +243,54 @@ def test_decode_any_image_sniffs_format():
     assert np.array_equal(j[:, :, 0], img)  # 200 is even -> exact
     with pytest.raises(ValueError, match="unrecognized"):
         C.decode_any_image(b"GIF89a...")
+
+
+def test_jpeg_restart_markers_exact_parity():
+    """Restart-marker streams (round 5): DRI/RSTn emitted, DC predictors
+    reset per segment, and the vectorized cross-segment entropy decoder
+    reproduces the serial decoder's pixels EXACTLY for every interval,
+    shape and spectrum."""
+    from hand_index_spark.functions import codecs as C
+
+    rng = np.random.default_rng(42)
+    for shape in [(16, 16), (24, 40, 3), (7, 13), (64, 64)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        ref = C.jpeg_decode(C.jpeg_encode(img))
+        for ri in (1, 2, 7, 1000):  # incl. interval > MCU count
+            enc = C.jpeg_encode(img, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI present
+            assert np.array_equal(C.jpeg_decode(enc), ref), (shape, ri)
+    # smooth spectrum (EOB-heavy, different symbol mix)
+    y, x = np.mgrid[0:40, 0:56]
+    img = ((np.sin(x / 9) + np.cos(y / 7)) * 60 + 128).astype(np.uint8)
+    ref = C.jpeg_decode(C.jpeg_encode(img))
+    for ri in (1, 4):
+        assert np.array_equal(
+            C.jpeg_decode(C.jpeg_encode(img, restart_interval=ri)), ref
+        )
+
+
+def test_jpeg_restart_default_stream_unchanged():
+    """restart_interval=0 (the default) must produce the exact bytes the
+    r4 encoder produced — the multimodal driver oracles depend on it."""
+    from hand_index_spark.functions import codecs as C
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 24, 3)).astype(np.uint8)
+    enc = C.jpeg_encode(img)
+    assert b"\xff\xdd" not in enc  # no DRI marker
+    assert b"\xff\xd0" not in enc and b"\xff\xd7" not in enc
+
+
+def test_jpeg_restart_rejects_tampered_markers():
+    from hand_index_spark.functions import codecs as C
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    enc = bytearray(C.jpeg_encode(img, restart_interval=1))
+    # find the first RST0 marker and break its sequence number
+    i = bytes(enc).find(b"\xff\xd0")
+    assert i != -1
+    enc[i + 1] = 0xD5  # out of sequence
+    with pytest.raises(ValueError):
+        C.jpeg_decode(bytes(enc))
