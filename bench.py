@@ -162,6 +162,53 @@ def build_queries(spark, sf_dir):
             xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax",
         )
 
+    # ROI query at 600k catchments (VERDICT r4 item 9): the reference's
+    # semantic core at ~100x its fixture size. Hive-partitioned datagen
+    # is UNTIMED (cached across bench invocations under /tmp); the timed
+    # query is the full prune -> pruned scan -> bbox prefilter -> exact
+    # refine -> threshold chain with stats actions disabled so the noop
+    # sink measures exactly one plan execution.
+    import shutil
+
+    from hand_index_spark.pipelines.build_index import CATCHMENT_PARTITION_RES
+    from hand_index_spark.pipelines.query_roi import roi_query
+    from hand_index_spark.tables.datagen import synth_catchments
+
+    roi_rows = int(os.environ.get("SPARK_GRAFT_ROI_BENCH_ROWS", 600_000))
+    roi_dir = os.environ.get(
+        "SPARK_GRAFT_ROI_BENCH_DIR", "/tmp/hand_index_spark_bench_roi"
+    )
+    ROI_RECT = {
+        "type": "Polygon",
+        "coordinates": [[
+            [-98.0, 36.0], [-96.0, 36.0], [-96.0, 38.0], [-98.0, 38.0],
+            [-98.0, 36.0],
+        ]],
+    }
+
+    def setup_roi():
+        tab = f"{roi_dir}/catchments_{roi_rows}"
+        t0 = time.perf_counter()
+        if not os.path.exists(f"{tab}/_SUCCESS"):
+            shutil.rmtree(tab, ignore_errors=True)
+            cat = synth_catchments(spark, roi_rows, CATCHMENT_PARTITION_RES)
+            (
+                cat.repartition(F.col("h3_index"))
+                .write.mode("overwrite")
+                .partitionBy("h3_index")
+                .parquet(tab)
+            )
+        return {
+            "catchments": spark.read.parquet(tab),
+            "datagen_sec": round(time.perf_counter() - t0, 3),
+        }
+
+    def q_roi_600k(ctx):
+        kept, _attrs, _stats = roi_query(
+            spark, ctx["catchments"], ROI_RECT, collect_stats=False
+        )
+        return kept
+
     from hand_index_spark.operators.dedup import (
         capped_candidate_pairs,
         dedup_base,
@@ -198,6 +245,7 @@ def build_queries(spark, sf_dir):
         "pricing_summary": (None, lambda _c: RELATIONAL["pricing_summary"](spark, sf_dir)),
         "join_left_3way": (None, lambda _c: RELATIONAL["join_left_3way"](spark, sf_dir)),
         "spatial_join_500k": (setup_sjoin, q_spatial_join_synth),
+        "roi_query_600k": (setup_roi, q_roi_600k),
         "dedup_pairs_1m": (setup_dedup, q_dedup_pairs_1m),
     }
 
@@ -353,6 +401,48 @@ def dedup_stage_timings(spark, corpus):
     return stages
 
 
+def roi_stage_timings(spark, catchments):
+    """Stage breakdown of the ROI headline (prune+scan vs refine),
+    mirroring dedup_stage_timings: each stage executed once, warm,
+    with the noop sink. ``coarse`` is the partition-pruned scan + bbox
+    prefilter (pure Catalyst); refine adds the exact-overlap pandas UDF
+    + threshold. Also records the pruning evidence: partition filters
+    present in the executed plan."""
+    import numpy as np
+
+    from hand_index_spark.geo import albers
+    from hand_index_spark.pipelines.query_roi import roi_candidates, roi_query
+    from hand_index_spark.sources.geojson import load_roi
+
+    ROI_RECT = {
+        "type": "Polygon",
+        "coordinates": [[
+            [-98.0, 36.0], [-96.0, 36.0], [-96.0, 38.0], [-98.0, 38.0],
+            [-98.0, 36.0],
+        ]],
+    }
+    ring = load_roi(ROI_RECT)[0]
+    x, y = albers.forward(ring[:, 0], ring[:, 1])
+    ring5070 = np.column_stack([x, y])
+    coarse = roi_candidates(catchments, ring, ring5070)
+    stages: dict = {}
+    t0 = time.perf_counter()
+    coarse.write.format("noop").mode("overwrite").save()
+    stages["prune_scan_sec"] = round(time.perf_counter() - t0, 3)
+    kept, _a, _s = roi_query(spark, catchments, ROI_RECT, collect_stats=False)
+    t0 = time.perf_counter()
+    kept.write.format("noop").mode("overwrite").save()
+    total = time.perf_counter() - t0
+    stages["total_sec"] = round(total, 3)
+    stages["refine_sec"] = round(max(total - stages["prune_scan_sec"], 0.0), 3)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    stages["plan_has_partition_filters"] = (
+        "PartitionFilters: [h3_index" in plan and "INSET" in plan
+    )
+    stages["coarse_rows"] = coarse.count()
+    return stages
+
+
 def regression_verdict(timings, weather, config):
     """Compare clean-window medians against the previous round's
     clean-window reference (BENCH/best_window_ref.json). Only queries
@@ -406,11 +496,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     weather: dict[str, dict] = {}
     dedup_ctx = None
+    roi_ctx = None
     deadline = time.monotonic() + BENCH_BUDGET_S
     for name, (setup, fn) in queries.items():
         ctx = setup() if setup is not None else None
         if name == "dedup_pairs_1m":
             dedup_ctx = ctx
+        if name == "roi_query_600k":
+            roi_ctx = ctx
 
         def run_once(fn=fn, ctx=ctx) -> None:
             # the DataFrame is REBUILT every run so queries with eager
@@ -440,6 +533,10 @@ def main() -> None:
             {"sf": sf, "cpus": cpus, "synth_rows": SYNTH_ROWS},
         ),
     }
+    if roi_ctx is not None:
+        rs = roi_stage_timings(spark, roi_ctx["catchments"])
+        rs["datagen_sec_untimed"] = roi_ctx["datagen_sec"]
+        out["roi_query_600k_stages"] = rs
     if dedup_ctx is not None:
         stages = dedup_stage_timings(spark, dedup_ctx["corpus"])
         stages["corpus_rows"] = dedup_ctx["rows"]

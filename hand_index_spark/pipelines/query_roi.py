@@ -37,37 +37,29 @@ from ..sources.geojson import load_roi
 from .build_index import CATCHMENT_PARTITION_RES
 
 
-def roi_query(
-    spark: SparkSession,
+def roi_candidates(
     catchments: DataFrame,
-    roi: str | dict,
-    hydrotables: DataFrame | None = None,
-    rem_rasters: DataFrame | None = None,
-    catchment_rasters: DataFrame | None = None,
-    overlap_threshold_pct: float = 10.0,
+    ring: np.ndarray,
+    ring5070: np.ndarray,
     partition_res: int = CATCHMENT_PARTITION_RES,
-) -> tuple[DataFrame, DataFrame, dict]:
-    """Returns (kept_geometries, joined_attributes, stats).
+) -> DataFrame:
+    """The coarse phase alone (partition-pruned scan + bbox prefilter) —
+    shared by :func:`roi_query` and the bench's stage breakdown.
 
-    ``catchments`` must carry geometry (WKB EPSG:5070), bbox struct,
-    h3_index partition col, catchment_id.
+    1. partition pruning: covering cells of the ROI bbox, buffered by
+    the maximum distance a catchment can extend beyond its centroid's
+    cell. Catchments are keyed by centroid cell, and a catchment quad
+    spans at most one full tile extent (tilegrid W x H degrees), so a
+    catchment intersecting the ROI has its centroid within
+    ceil(max_tile_extent / cell_size) cells of the ROI bbox — derived,
+    not hard-coded, so changing the grid or partition_res stays safe.
+
+    2. coarse bbox prefilter in 5070 (Catalyst-only, parquet row-group
+    min/max stats pushdown).
     """
-    rings4326 = load_roi(roi)
-    ring = rings4326[0]  # single-ROI usage, like the reference (:101)
-    # degenerate-ROI guard (zero-area, FIXTURES.md §6e)
-    lon_min, lat_min, lon_max, lat_max = P.bbox_of(ring)
-    x, y = albers.forward(ring[:, 0], ring[:, 1])
-    ring5070 = np.column_stack([x, y])
-
-    # 1. partition pruning: covering cells of the ROI bbox, buffered by
-    # the maximum distance a catchment can extend beyond its centroid's
-    # cell. Catchments are keyed by centroid cell, and a catchment quad
-    # spans at most one full tile extent (tilegrid W x H degrees), so a
-    # catchment intersecting the ROI has its centroid within
-    # ceil(max_tile_extent / cell_size) cells of the ROI bbox — derived,
-    # not hard-coded, so changing the grid or partition_res stays safe.
     from ..tables import tilegrid as tg
 
+    lon_min, lat_min, lon_max, lat_max = P.bbox_of(ring)
     cs = 1.0 / (1 << partition_res)
     buf_cells = int(np.ceil(max(tg.W, tg.H) / cs)) + 1  # +1: centroid cell quantization
     cells = h3lite.cover_bbox(
@@ -80,23 +72,52 @@ def roi_query(
     pruned = catchments.filter(
         F.col("h3_index").isin([int(c) for c in cells])
     )
-
-    # 2. coarse bbox prefilter in 5070 (Catalyst-only, stats pushdown)
     bx0, by0, bx1, by1 = P.bbox_of(ring5070)
-    coarse = pruned.filter(
+    return pruned.filter(
         (F.col("bbox.xmax") >= F.lit(bx0))
         & (F.col("bbox.xmin") <= F.lit(bx1))
         & (F.col("bbox.ymax") >= F.lit(by0))
         & (F.col("bbox.ymin") <= F.lit(by1))
     )
 
+
+def roi_query(
+    spark: SparkSession,
+    catchments: DataFrame,
+    roi: str | dict,
+    hydrotables: DataFrame | None = None,
+    rem_rasters: DataFrame | None = None,
+    catchment_rasters: DataFrame | None = None,
+    overlap_threshold_pct: float = 10.0,
+    partition_res: int = CATCHMENT_PARTITION_RES,
+    collect_stats: bool = True,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Returns (kept_geometries, joined_attributes, stats).
+
+    ``catchments`` must carry geometry (WKB EPSG:5070), bbox struct,
+    h3_index partition col, catchment_id. ``collect_stats=False`` skips
+    the eager count actions (stats comes back empty) so callers that
+    only execute the returned DataFrames — e.g. the bench's timed loop —
+    measure exactly one execution of the plan.
+    """
+    rings4326 = load_roi(roi)
+    ring = rings4326[0]  # single-ROI usage, like the reference (:101)
+    # degenerate-ROI guard (zero-area, FIXTURES.md §6e)
+    x, y = albers.forward(ring[:, 0], ring[:, 1])
+    ring5070 = np.column_stack([x, y])
+
+    coarse = roi_candidates(catchments, ring, ring5070, partition_res)
+
     # 3. exact refinement (vectorized pandas UDF over candidates)
     refined = refine_overlap(coarse, spark, ring5070)
     hits = refined.filter(F.col("intersects"))
     kept = threshold_filter(hits, overlap_threshold_pct)
-    stats = overlap_stats(hits)
-    stats["final"] = kept.count()
-    stats["removed"] = stats["initial"] - stats["final"]
+    if collect_stats:
+        stats = overlap_stats(hits)
+        stats["final"] = kept.count()
+        stats["removed"] = stats["initial"] - stats["final"]
+    else:
+        stats = {}
 
     # 4. attribute assembly: 3-way LEFT join + left-semi keep filter
     keep_ids = kept.select("catchment_id")

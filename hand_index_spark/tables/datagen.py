@@ -228,3 +228,66 @@ def roi_geojson(kind: str) -> dict:
             }
         ],
     }
+
+
+# synthetic catchment-corpus extent (deg, EPSG:4326) — CONUS-ish
+CATCH_LON0, CATCH_LON1 = -125.0, -65.0
+CATCH_LAT0, CATCH_LAT1 = 25.0, 50.0
+CATCH_HALF = 0.004  # catchment quad half-extent in degrees
+
+
+def synth_catchments(spark: SparkSession, n: int, partition_res: int) -> DataFrame:
+    """Deterministic hashed spread of ``n`` small catchment quads with
+    the exact column contract of pipelines/build_index.build_catchments
+    (WKB 5070 geometry, coords_flat, bbox struct, h3_index partition
+    key, branch_path). mapInPandas generator — scales with the range.
+    Used by scripts/roi_stress.py and bench.py's roi_query_600k
+    headline (datagen, not engine)."""
+    import pandas as pd
+
+    from ..geo import cells as h3lite
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            lon = CATCH_LON0 + ((ids * 2654435761) % 6000).astype(np.float64) * 0.01
+            lat = CATCH_LAT0 + ((ids * 97 + 13) % 2500).astype(np.float64) * 0.01
+            h = CATCH_HALF
+            qlon = np.stack([lon - h, lon + h, lon + h, lon - h, lon - h], axis=1)
+            qlat = np.stack([lat - h, lat - h, lat + h, lat + h, lat - h], axis=1)
+            x, y = albers.forward(qlon.ravel(), qlat.ravel())
+            x = x.reshape(-1, 5)
+            y = y.reshape(-1, 5)
+            cell = h3lite.encode(lat, lon, partition_res)
+            rows = []
+            for i in range(len(ids)):
+                ring = np.column_stack([x[i], y[i]])
+                rows.append(
+                    (
+                        f"cat{ids[i]:08d}",
+                        wkb.polygon_to_wkb([ring]),
+                        ring.ravel().tolist(),
+                        {
+                            "xmin": float(x[i].min()),
+                            "ymin": float(y[i].min()),
+                            "xmax": float(x[i].max()),
+                            "ymax": float(y[i].max()),
+                        },
+                        int(cell[i]),
+                        f"s3://fix/branches/{ids[i]}/",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "catchment_id", "geometry", "coords_flat",
+                    "bbox", "h3_index", "branch_path",
+                ],
+            )
+
+    schema = (
+        "catchment_id string, geometry binary, coords_flat array<double>, "
+        "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+        "h3_index long, branch_path string"
+    )
+    return spark.range(n).mapInPandas(gen, schema=schema)

@@ -34,71 +34,25 @@ sys.path.insert(0, ROOT)
 N = int(os.environ.get("SPARK_GRAFT_ROI_ROWS", 600_000))
 OUT = os.environ.get("SPARK_GRAFT_ROI_DIR", "/tmp/hand_index_spark_roi_stress")
 
-# synthetic extent (deg, EPSG:4326) — CONUS-ish, ~1500 res-0 cells
-LON0, LON1, LAT0, LAT1 = -125.0, -65.0, 25.0, 50.0
-HALF = 0.004  # catchment quad half-extent in degrees
+# synthetic extent lives in tables/datagen.py (shared with bench.py)
+from hand_index_spark.tables.datagen import (  # noqa: E402
+    CATCH_HALF as HALF,
+    CATCH_LAT0 as LAT0,
+    CATCH_LAT1 as LAT1,
+    CATCH_LON0 as LON0,
+    CATCH_LON1 as LON1,
+)
 
 # ROI: a 2x2-degree convex rectangle well inside the extent
 ROI_LON0, ROI_LAT0, ROI_LON1, ROI_LAT1 = -98.0, 36.0, -96.0, 38.0
 
 
 def gen_catchments(spark, n, partition_res):
-    """mapInPandas generator: deterministic hashed spread of small quads;
-    geometry (WKB 5070), coords_flat, bbox, h3_index — the exact column
-    contract of pipelines/build_index.build_catchments."""
-    import pandas as pd
+    """Shared generator (moved to tables/datagen.py in round 5 so
+    bench.py's roi_query_600k headline reuses the identical corpus)."""
+    from hand_index_spark.tables.datagen import synth_catchments
 
-    from hand_index_spark.geo import albers, cells as h3lite, wkb
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            lon = LON0 + ((ids * 2654435761) % 6000).astype(np.float64) * 0.01
-            lat = LAT0 + ((ids * 97 + 13) % 2500).astype(np.float64) * 0.01
-            # CCW quad around the centroid, closed ring, in 4326...
-            qlon = np.stack(
-                [lon - HALF, lon + HALF, lon + HALF, lon - HALF, lon - HALF], axis=1
-            )
-            qlat = np.stack(
-                [lat - HALF, lat - HALF, lat + HALF, lat + HALF, lat - HALF], axis=1
-            )
-            # ...projected to 5070 (the stored-geometry CRS)
-            x, y = albers.forward(qlon.ravel(), qlat.ravel())
-            x = x.reshape(-1, 5)
-            y = y.reshape(-1, 5)
-            cell = h3lite.encode(lat, lon, partition_res)
-            rows = []
-            for i in range(len(ids)):
-                ring = np.column_stack([x[i], y[i]])
-                rows.append(
-                    (
-                        f"cat{ids[i]:08d}",
-                        wkb.polygon_to_wkb([ring]),
-                        ring.ravel().tolist(),
-                        {
-                            "xmin": float(x[i].min()),
-                            "ymin": float(y[i].min()),
-                            "xmax": float(x[i].max()),
-                            "ymax": float(y[i].max()),
-                        },
-                        int(cell[i]),
-                        f"s3://fix/branches/{ids[i]}/",
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "catchment_id", "geometry", "coords_flat",
-                    "bbox", "h3_index", "branch_path",
-                ],
-            )
-
-    schema = (
-        "catchment_id string, geometry binary, coords_flat array<double>, "
-        "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
-        "h3_index long, branch_path string"
-    )
-    return spark.range(n).mapInPandas(gen, schema=schema)
+    return synth_catchments(spark, n, partition_res)
 
 
 def dir_bytes(path):
