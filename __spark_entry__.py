@@ -54,13 +54,13 @@ DRIVER_SAMPLE_ORDER = [
     "knn_fallback", "cells_encode", "s2_cells", "albers_forward",
     "union_catchments", "overlap_refine", "roi_pip_filter",
     "wkb_roundtrip", "raster_corners", "salted_histogram",
-    "simplify_ring", "text_invariant",
+    "simplify_ring", "text_invariant", "union_overlap",
     # storage / icelite DML + lineage
     "partitioned_roundtrip", "icelite_merge", "lineage_counts",
     # relational / window
     "pricing_summary", "join_left_3way", "window_dedup",
     "topn_per_group", "upsert_dedup", "regexp_path_join",
-    "quantiles", "cube_counts",
+    "quantiles",
     # temporal joins
     "asof_join_latest_order", "range_join_followers",
     # structured streaming

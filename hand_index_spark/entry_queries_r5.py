@@ -20,6 +20,10 @@ def _register(reg: dict, name: str, fn, oracle: str | None) -> None:
         ORACLES5[name] = oracle
 
 
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 # --------------------------------------------------------------------------
 # F9: Douglas-Peucker simplification (reference load.py:155-156,
 # ST_Simplify at 100 m) — the mapInPandas NumPy kernel in
@@ -111,5 +115,172 @@ _register(
            CAST(24 * (1 + k % 4) + 88 * k AS DOUBLE) AS sx,
            CAST(24 * (1 + k % 4) + 56 * k AS DOUBLE) AS sy
     FROM range({_SIMPLIFY_N}) t(k)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# A1 (overlap regime): the round-5 planar-overlay union kernel
+# (geo/polygon.overlay_union via operators/union_agg.union_branches)
+# driven through the oracle contract. Fixture: per branch, two integer
+# axis-aligned squares offset diagonally so they GENUINELY overlap
+# (edge cancellation rejects them); the union is the L-shaped octagon
+# whose area/bbox/vertex count are closed-form: side s=4+k%3, offset
+# d=1+k%2, translation (17k, 9k) -> area 2*s^2-(s-d)^2, bbox
+# [0,s+d]^2 + t. Every coordinate is an exact small integer, so the
+# shoelace over the overlay output is bit-exact vs DuckDB arithmetic.
+
+_OVL_N = 40
+
+
+def _q_union_overlap(spark, sf_dir):
+    import numpy as np
+
+    from .geo import wkb as W
+    from .operators.union_agg import union_branches
+
+    rows = []
+    for k in range(_OVL_N):
+        s = 4 + k % 3
+        d = 1 + k % 2
+        tx, ty = 17.0 * k, 9.0 * k
+        sq = lambda x0, y0: np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float
+        )
+        for ring in (sq(tx, ty), sq(tx + d, ty + d)):
+            rows.append((f"ovl/{k:03d}/", bytearray(W.polygon_to_wkb([ring]))))
+    df = spark.createDataFrame(rows, schema="branch_path string, geom binary")
+    out = union_branches(df, simplify_tol=0.0)
+    n = (F.size("coords_flat") / 2).cast("long")  # OPEN outer ring
+    # shoelace over the open ring (wrap via modular successor), exact ints
+    shoelace = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at("coords_flat", (i * 2 + 1).cast("int"))
+            * F.element_at("coords_flat", (((i + 1) % n) * 2 + 2).cast("int"))
+            - F.element_at("coords_flat", (((i + 1) % n) * 2 + 1).cast("int"))
+            * F.element_at("coords_flat", (i * 2 + 2).cast("int"))
+        ),
+    )
+    return out.select(
+        "branch_path",
+        "geom_count",
+        "union_method",
+        n.alias("n_vertices"),
+        (F.abs(shoelace) / F.lit(2.0)).alias("area"),
+        F.col("xmin"),
+        F.col("ymin"),
+        F.col("xmax"),
+        F.col("ymax"),
+    )
+
+
+_register(
+    GEO5,
+    "union_overlap",
+    _q_union_overlap,
+    f"""
+    SELECT concat('ovl/', lpad(CAST(k AS VARCHAR), 3, '0'), '/') AS branch_path,
+           CAST(2 AS BIGINT) AS geom_count,
+           'overlay' AS union_method,
+           CAST(8 AS BIGINT) AS n_vertices,
+           CAST(2 * (4 + k % 3) * (4 + k % 3)
+                - ((4 + k % 3) - (1 + k % 2)) * ((4 + k % 3) - (1 + k % 2))
+                AS DOUBLE) AS area,
+           CAST(17 * k AS DOUBLE) AS xmin,
+           CAST(9 * k AS DOUBLE) AS ymin,
+           CAST(17 * k + (4 + k % 3) + (1 + k % 2) AS DOUBLE) AS xmax,
+           CAST(9 * k + (4 + k % 3) + (1 + k % 2) AS DOUBLE) AS ymax
+    FROM range({_OVL_N}) t(k)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LINE-LEVEL deduplication (the published web-corpus
+# cleaning step: drop lines/chunks that repeat across documents —
+# boilerplate, navigation, headers). The corpus has no newlines, so the
+# "line" unit is a fixed 2-token chunk: chunk the text, count DISTINCT
+# docs per chunk globally, remove chunks seen in >= 3 docs, reassemble
+# the cleaned text preserving chunk order. Pure Catalyst: slice/explode
+# -> groupBy count -> join -> ordered conditional re-aggregation. At
+# 100 TB this is two keyed shuffles (chunk counts, doc reassembly) —
+# the same shape as exact dedup.
+
+_LINE_CHUNK = 3
+_LINE_MAXDOCS = 2  # kept iff distinct-doc count <= this
+
+
+def _q_line_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(_LINE_CHUNK)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, (i * _LINE_CHUNK + 1).cast("int"), _LINE_CHUNK), " "
+        ),
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    counts = ex.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    tagged = ex.join(counts, "chunk").withColumn(
+        "kept", F.col("ndocs") <= F.lit(_LINE_MAXDOCS)
+    )
+    rows = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "chunk", "kept"))
+                    ),
+                    lambda s: s["kept"],
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return rows
+
+
+_register(
+    TEXT5,
+    "line_dedup",
+    _q_line_dedup,
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(string_split(text, ' '))
+                                      / {_LINE_CHUNK}.0) AS BIGINT)),
+                   i -> array_to_string(
+                       string_split(text, ' ')[i * {_LINE_CHUNK} + 1
+                                               : i * {_LINE_CHUNK} + {_LINE_CHUNK}],
+                       ' ')
+               ) AS cl
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS pos, cl[u.i + 1] AS chunk
+        FROM base, unnest(range(0, len(cl))) AS u(i)
+    ), counts AS (
+        SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM ex GROUP BY chunk
+    ), tagged AS (
+        SELECT ex.doc_id, ex.pos, ex.chunk,
+               (c.ndocs <= {_LINE_MAXDOCS}) AS kept
+        FROM ex JOIN counts c USING (chunk)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                        FILTER (WHERE kept), '') AS cleaned
+    FROM tagged
+    GROUP BY doc_id
     """,
 )
