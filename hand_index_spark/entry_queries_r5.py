@@ -284,3 +284,56 @@ _register(
     GROUP BY doc_id
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# As-of join with a staleness TOLERANCE (pandas merge_asof's
+# `tolerance`): the point-in-time lookup only accepts a match within 30
+# days of the event; older state is treated as missing. Same one-
+# keyed-shuffle union-timeline plan; the tolerance is a post-window
+# predicate on the carried match timestamp.
+
+_ASOF_TOL_S = 30 * 86400.0
+
+
+def _q_asof_tolerance(spark, sf_dir):
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_join(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_totalprice"],
+        tolerance_seconds=_ASOF_TOL_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.round("asof_o_totalprice", 2).alias("asof_totalprice"),
+    )
+
+
+_register(
+    TEXT5,
+    "asof_join_tolerance",
+    _q_asof_tolerance,
+    f"""
+    WITH m AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         AND CAST(epoch(e.ts) AS DOUBLE) - CAST(epoch(o.o_orderdate) AS DOUBLE)
+             <= {_ASOF_TOL_S}
+    )
+    SELECT event_id, user_id,
+           o_orderkey AS asof_orderkey,
+           round(o_totalprice, 2) AS asof_totalprice
+    FROM m WHERE rn = 1
+    """,
+)

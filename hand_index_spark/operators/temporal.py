@@ -45,12 +45,18 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For every left row: the right row of the same key with the
     greatest ``right_ts`` <= ``left_ts`` (ties on right_ts broken by
     the greatest first right_col, deterministically). Left rows keep
     all their columns; matched right attributes arrive as
     ``{prefix}{col}``; unmatched rows get nulls.
+
+    ``tolerance_seconds`` bounds staleness (pandas merge_asof's
+    ``tolerance``): a match older than ``left_ts - tolerance`` is
+    treated as no match (all ``{prefix}*`` columns null). Purely a
+    post-window predicate — still one keyed shuffle, no join operator.
 
     Null semantics: rows with a null key or null timestamp are the
     caller's to filter — a null-ts left row sorts before every right
@@ -64,7 +70,11 @@ def asof_join(
     # mixed row that never existed. The struct itself is null on left
     # rows (so ignorenulls skips them) and non-null on every right row,
     # even when all its fields are null.
-    r_struct = F.struct(*[F.col(c) for c in right_cols])
+    assert "__match_ts" not in right_cols  # reserved struct field
+    r_struct = F.struct(
+        *[F.col(c) for c in right_cols],
+        _epoch(F.col(right_ts)).alias("__match_ts"),
+    )
     r_tagged = right.select(
         rk.alias("__k"),
         _epoch(F.col(right_ts)).alias("__t"),
@@ -102,9 +112,18 @@ def asof_join(
         "*",
         F.last("__rrow", ignorenulls=True).over(w).alias("__match"),
     )
+    match_ok = F.col("__match").isNotNull()
+    if tolerance_seconds is not None:
+        match_ok = match_ok & (
+            (F.col("__t") - F.col("__match")["__match_ts"])
+            <= F.lit(float(tolerance_seconds))
+        )
     out = carried.filter(F.col("__is_left") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
-        *[F.col("__match")[c].alias(f"{prefix}{c}") for c in right_cols],
+        *[
+            F.when(match_ok, F.col("__match")[c]).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
     )
     return out
 

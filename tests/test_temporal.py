@@ -188,3 +188,32 @@ def test_range_join_property_boundaries(spark):
             and (rr.rt - lr.t).total_seconds() <= band
         )
         assert got == want, (band, closed)
+
+
+def test_asof_tolerance_matches_bruteforce(spark):
+    """tolerance_seconds: a match older than left_ts - tol nulls out
+    (pandas merge_asof semantics — since the within-tolerance set is a
+    time-suffix, 'latest overall if fresh enough' == 'latest within
+    tolerance')."""
+    trades, quotes = _mk(spark)
+    tol = 300.0
+    got = {
+        r.trade_id: (r.asof_quote_id, r.asof_px)
+        for r in asof_join(
+            trades, quotes, "sym", "qsym", "t", "qt", ["quote_id", "px"],
+            tolerance_seconds=tol,
+        ).collect()
+    }
+    q_rows = quotes.collect()
+    for tr in trades.collect():
+        cands = [
+            q for q in q_rows
+            if q.qsym == tr.sym
+            and q.qt <= tr.t
+            and (tr.t - q.qt).total_seconds() <= tol
+        ]
+        if cands:
+            best = max(cands, key=lambda q: (q.qt, q.quote_id))
+            assert got[tr.trade_id] == (best.quote_id, best.px), tr
+        else:
+            assert got[tr.trade_id] == (None, None), tr
