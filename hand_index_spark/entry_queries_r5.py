@@ -337,3 +337,132 @@ _register(
     FROM m WHERE rn = 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Gopher/MassiveText repetition quality signals (the published filter:
+# drop docs whose duplicate-n-gram fraction is high). Per doc over
+# 2-grams: total, distinct, duplicate fraction, top-gram fraction.
+# Fractions are one IEEE division of exact ints -> bit-identical.
+
+
+def _q_repetition_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), (i + 1).cast("int")),
+                    F.element_at(F.col("t"), (i + 2).cast("int")),
+                ),
+            )
+        ).alias("bg"),
+    )
+    per_gram = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            (F.sum("c") - F.count(F.lit(1))).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_frac"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_frac"),
+    )
+
+
+_register(
+    TEXT5,
+    "repetition_stats",
+    _q_repetition_stats,
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), bi AS (
+        SELECT doc_id, u.bg
+        FROM toks, unnest(list_transform(
+            range(0, len(t) - 1),
+            i -> concat(t[i + 1], ' ', t[i + 2])
+        )) AS u(bg)
+    ), pg AS (
+        SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS dup_frac,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+    FROM pg GROUP BY doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (the redaction pass every published web-corpus pipeline
+# runs before training). The corpus has no PII, so the fixture plants a
+# deterministic email + phone per doc in-query, then the scrubber
+# replaces both patterns and counts hits — byte-exact output parity
+# (simple character-class regexes, identical in Java and RE2).
+
+_PII_EMAIL = "[a-z0-9]+@[a-z]+\\.com"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+
+
+def _q_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("raw"),
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+_register(
+    TEXT5,
+    "pii_scrub",
+    _q_pii_scrub,
+    f"""
+    WITH planted AS (
+        SELECT doc_id,
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com or +1-555-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM planted
+    """,
+)
