@@ -186,6 +186,61 @@ def main() -> None:
         forbid=("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"),
     )
 
+    # round-5: line-level dedup — two keyed shuffles (chunk counts +
+    # doc reassembly) with map-side partial aggregation, no Python, and
+    # the chunk-count join must never degrade to a nested loop
+    from hand_index_spark.entry_queries_r5 import GEO5 as _GEO5, TEXT5 as _TEXT5
+
+    audit(
+        "line_dedup",
+        _TEXT5["line_dedup"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-5: Gopher repetition stats — explode + two-level partial agg,
+    # pure Catalyst
+    audit(
+        "repetition_stats",
+        _TEXT5["repetition_stats"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-5: PII scrub — regex surface stays inside codegen entirely
+    audit(
+        "pii_scrub",
+        _TEXT5["pii_scrub"],
+        expect=("[codegen id :",),
+        forbid=("ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-5: Douglas-Peucker — exactly the one irreducible Python
+    # stage (MapInPandas), stats JVM-side, no shuffle at all
+    audit(
+        "simplify_ring",
+        _GEO5["simplify_ring"],
+        expect=("MapInPandas",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin", "Exchange"),
+    )
+    # round-5: overlay union — ONE grouped-map Python stage keyed on the
+    # group column (the union aggregate is not decomposable), no joins
+    audit(
+        "union_overlap",
+        _GEO5["union_overlap"],
+        expect=("FlatMapGroupsInPandas",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "ShuffledHashJoin"),
+    )
+    # round-5: asof with tolerance keeps the no-join union-timeline plan
+    audit(
+        "asof_join_tolerance",
+        _TEXT5["asof_join_tolerance"],
+        expect=("Window",),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
