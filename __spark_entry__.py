@@ -9,7 +9,8 @@ discretization-safe comparisons), iterative graph clustering (via a
 recursive-CTE closure), stateful streaming (via batch parity), the
 no-broadcast join paths, temporal joins, sketches, and the icelite
 maintenance surface. Registry batches: entry_queries.py,
-entry_queries_ext.py, entry_queries_r2.py, entry_queries_r4.py; see
+entry_queries_ext.py, entry_queries_r2.py, entry_queries_r4.py,
+entry_queries_r5.py; see
 COVERAGE.md for the operator -> query map.
 
 Session requirements: NONE. Every query runs green under a bare
