@@ -385,3 +385,61 @@ def test_union_branches_overlap_uses_overlay_not_hull(spark):
     # union area = 4e4 + 4e4 - 1e4 = 7e4 (hull would be 8.66e4+)
     assert abs(abs(P.ring_area(ring)) - 70000.0) < 1e-9
     assert (row.xmin, row.ymin, row.xmax, row.ymax) == (0.0, 0.0, 300.0, 300.0)
+
+
+def test_overlay_union_property_random_rect_sets():
+    """Property: for random INTEGER axis-aligned rectangle sets, the
+    overlay union's total signed area equals the exact union area from
+    coordinate-compression sweep (an independent oracle: strips between
+    sorted x-cuts, covered y-intervals merged per strip). Exercises
+    proper crossings, T-junctions, collinear overlaps, containment,
+    duplicates and disjoint parts in one sweep."""
+    import random
+
+    from hand_index_spark.geo import polygon as P
+
+    rng = random.Random(20260817)
+
+    def exact_union_area(rects):
+        xs = sorted({r[0] for r in rects} | {r[2] for r in rects})
+        total = 0.0
+        for x0, x1 in zip(xs[:-1], xs[1:]):
+            xm = (x0 + x1) / 2.0
+            ivals = sorted(
+                (r[1], r[3]) for r in rects if r[0] <= xm <= r[2]
+            )
+            covered = 0.0
+            cur0 = cur1 = None
+            for y0, y1 in ivals:
+                if cur1 is None or y0 > cur1:
+                    if cur1 is not None:
+                        covered += cur1 - cur0
+                    cur0, cur1 = y0, y1
+                else:
+                    cur1 = max(cur1, y1)
+            if cur1 is not None:
+                covered += cur1 - cur0
+            total += covered * (x1 - x0)
+        return total
+
+    failures = []
+    for case in range(60):
+        n = rng.randint(2, 6)
+        rects = []
+        for _ in range(n):
+            x0 = rng.randint(0, 12)
+            y0 = rng.randint(0, 12)
+            rects.append((x0, y0, x0 + rng.randint(1, 8), y0 + rng.randint(1, 8)))
+        rings = [
+            np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float)
+            for x0, y0, x1, y1 in rects
+        ]
+        u = P.overlay_union(rings)
+        want = exact_union_area(rects)
+        if u is None:
+            failures.append((case, rects, "None", want))
+            continue
+        got = sum(P.ring_area(r) for r in u)
+        if abs(got - want) > 1e-9:
+            failures.append((case, rects, got, want))
+    assert not failures, failures[:3]
