@@ -466,3 +466,29 @@ _register(
     FROM planted
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (operators/ann.py pq_adc_topk): the memory
+# path for 10^12 vectors — 64-dim floats compress to 8 one-byte codes
+# and queries rank by the ADC lookup-table sum without touching raw
+# vectors. Codebooks train as ONE joint quantized-Lloyd pipeline over
+# (sub, cid) keys (2 passes for all 8 codebooks); the oracle replays
+# the identical arithmetic CTE-per-round (ann.pq_oracle_sql).
+
+
+def _q_ann_pq_adc(spark, sf_dir):
+    from .operators.ann import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, F.col("vec_id") < 5, k=3)
+
+
+from .operators.ann import pq_oracle_sql as _pq_oracle_sql  # noqa: E402
+
+_register(
+    TEXT5,
+    "ann_pq_adc",
+    _q_ann_pq_adc,
+    _pq_oracle_sql("vec_id < 5", k=3, dim=64),
+)

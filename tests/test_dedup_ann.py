@@ -312,3 +312,50 @@ def test_kmeans_ivf_balances_cells_vs_first_n(clustered, spark):
     assert w2.sum() == n == w0.sum()
     assert w2.max() <= w0.max()
     assert w2.std() < w0.std()
+
+
+def test_pq_adc_shortlist_recall_and_rerank(spark):
+    """PQ/ADC quality gate (round 5): on the near-random sf0.01
+    embeddings (a hard case for PQ), the ADC shortlist at R=100 must
+    contain >= 0.7 of the exact-L2 top-10 on average (measured 0.824),
+    and the re-ranked output must be exactly the shortlist's true L2
+    top-k in true L2 order."""
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.operators.ann import (
+        pq_adc_topk,
+        pq_topk_rerank,
+        with_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pred = F.col("vec_id") < 30
+    K = 10
+
+    vecs = {r.vec_id: r.e for r in with_vectors(emb).collect()}
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    exact = {}
+    for q in range(30):
+        d = sorted(
+            (l2(vecs[q], vecs[v]), v) for v in vecs if v != q
+        )[:K]
+        exact[q] = [v for _, v in d]
+
+    short = {}
+    for r in pq_adc_topk(emb, pred, k=100).collect():
+        short.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(short[q] & set(exact[q])) / K for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.7, sum(recalls) / len(recalls)
+
+    rr = {}
+    for r in pq_topk_rerank(emb, pred, k=K, shortlist=100).collect():
+        rr.setdefault(r.qid, []).append((r.rank, r.vec_id))
+    for q in exact:
+        got = [v for _, v in sorted(rr[q])]
+        want = sorted(
+            ((l2(vecs[q], vecs[v]), v) for v in short[q]),
+        )[:K]
+        assert got == [v for _, v in want], q
