@@ -492,3 +492,28 @@ _register(
     _q_ann_pq_adc,
     _pq_oracle_sql("vec_id < 5", k=3, dim=64),
 )
+
+
+# --------------------------------------------------------------------------
+# PQ served from the PERSISTED index (pipelines/ann_index.build_pq_index):
+# codebooks + one-byte codes live in icelite; queries touch only the
+# 32x-smaller code table plus their own raw rows. Bit-compatible with
+# ann_pq_adc, so the oracle is shared verbatim.
+
+
+def _q_ann_pq_indexed(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .pipelines.ann_index import build_pq_index, pq_adc_indexed
+
+    root = _fresh_dir("pqidx_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_pq_index(spark, emb, root, fingerprint="q1")
+    return pq_adc_indexed(spark, root, F.col("vec_id") < 5, k=3)
+
+
+_register(
+    TEXT5,
+    "ann_pq_indexed",
+    _q_ann_pq_indexed,
+    _pq_oracle_sql("vec_id < 5", k=3, dim=64),
+)

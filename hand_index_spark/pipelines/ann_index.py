@@ -159,3 +159,112 @@ def ivf_topk_indexed(
         .distinct()
     )
     return A.exact_rerank(base, cand, query_pred, k)
+
+
+# ------------------------------------------------------------------ PQ
+# Round 5: the PQ stages of the persisted index — codebooks + one-byte
+# codes land in icelite exactly like the IVF stages, so the 32x-smaller
+# code table is what queries scan (the raw vector table is only touched
+# for the query rows themselves). Same resume/lineage contract.
+
+
+def build_pq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_root: str,
+    fingerprint: str = "v1",
+    m: int = A.PQ_M,
+    ncode: int = A.PQ_K,
+    rounds: int = A.PQ_ROUNDS,
+    dim: int = 64,
+) -> dict:
+    """Run (or resume) the PQ index build: the shared "vectors" stage
+    (skipped if an IVF build already committed it), then
+    "pq_codebooks" (sub, cid, cv) via the joint quantized Lloyd and
+    "pq_codes" (vec_id, sub, code) — the compressed corpus."""
+    snaps: dict[str, dict] = {}
+    vec_t = IceliteTable(out_root, "vectors")
+    if not vec_t.stage_done("vectors", fingerprint):
+        base = A.with_vectors(emb).select("vec_id", "e", "norm")
+        snaps["vectors"] = vec_t.write(
+            base, stage="vectors", fingerprint=fingerprint, lineage_key="vec_id"
+        )
+
+    cb_t = IceliteTable(out_root, "pq_codebooks")
+    if not cb_t.stage_done("pq_codebooks", fingerprint):
+        subs = A._pq_subvectors(
+            vec_t.read(spark), m, dim
+        ).localCheckpoint(eager=True)
+        cents = subs.filter(F.col("vec_id") < ncode).select(
+            "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+        )
+        for _ in range(rounds):
+            cents = A._pq_lloyd(subs, cents)
+        snaps["pq_codebooks"] = cb_t.write(
+            cents, stage="pq_codebooks", fingerprint=fingerprint, lineage_key="sub"
+        )
+
+    code_t = IceliteTable(out_root, "pq_codes")
+    if not code_t.stage_done("pq_codes", fingerprint):
+        subs = A._pq_subvectors(vec_t.read(spark), m, dim)
+        cents = cb_t.read(spark)
+        codes = (
+            A._pq_assign(subs, cents)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", F.col("cid").alias("code"))
+        )
+        snaps["pq_codes"] = code_t.write(
+            codes, stage="pq_codes", fingerprint=fingerprint, lineage_key="vec_id"
+        )
+    return snaps
+
+
+def pq_adc_indexed(
+    spark: SparkSession,
+    out_root: str,
+    query_pred: Column,
+    k: int = 3,
+    m: int = A.PQ_M,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC search against the PERSISTED PQ index: query subvectors come
+    from the vectors table (query rows only), distances from the code
+    table + codebooks — the raw corpus is never re-scanned and the
+    quantizer never re-trained. Bit-compatible with
+    operators.ann.pq_adc_topk at the same (m, ncode, rounds): the
+    driver oracle is shared verbatim."""
+    base = IceliteTable(out_root, "vectors").read(spark)
+    cents = IceliteTable(out_root, "pq_codebooks").read(spark)
+    codes = IceliteTable(out_root, "pq_codes").read(spark)
+    qsubs = A._pq_subvectors(base.filter(query_pred), m, dim).select(
+        F.col("vec_id").alias("qid"), "sub", F.col("sv").alias("qv")
+    )
+    lut = qsubs.join(F.broadcast(cents), "sub").select(
+        "qid", "sub", "cid", A._pq_l2(F.col("qv"), F.col("cv")).alias("d")
+    )
+    from pyspark.sql import Window
+
+    pair_d = (
+        codes.withColumnRenamed("sub", "csub")
+        .join(lut, (F.col("csub") == lut.sub) & (F.col("code") == lut.cid))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "d"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        pair_d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -111,3 +111,41 @@ def test_incremental_add_equals_sample_trained_full_build(spark, tmp_path):
     from hand_index_spark.tables.icelite import IceliteTable
 
     assert IceliteTable(inc_root, "vectors").read(spark).count() == emb.count()
+
+
+def test_pq_index_build_query_resume(spark, tmp_path):
+    """PQ stages of the persisted index (round 5): served results equal
+    the in-query pq_adc_topk math bit-for-bit; stages fingerprint-
+    resume; a crash after codebooks recovers without the raw corpus;
+    and a PQ build on top of an existing IVF build reuses the shared
+    vectors stage."""
+    from hand_index_spark.pipelines.ann_index import (
+        build_pq_index,
+        pq_adc_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    root = str(tmp_path / "pqidx")
+
+    def rows(df):  # PQ output carries adc_dist, not sim
+        return sorted((r.qid, r.vec_id, r.adc_dist, r.rank) for r in df.collect())
+
+    snaps = build_pq_index(spark, emb, root)
+    assert set(snaps) == {"vectors", "pq_codebooks", "pq_codes"}
+
+    got = rows(pq_adc_indexed(spark, root, F.col("vec_id") < 5, k=3))
+    ref = rows(ann.pq_adc_topk(emb, F.col("vec_id") < 5, k=3))
+    assert got == ref  # persisted index == in-query math, bit-for-bit
+
+    assert build_pq_index(spark, emb, root) == {}  # full resume
+
+    shutil.rmtree(f"{root}/pq_codes")
+    snaps3 = build_pq_index(spark, emb, root)
+    assert set(snaps3) == {"pq_codes"}
+    assert rows(pq_adc_indexed(spark, root, F.col("vec_id") < 5, k=3)) == got
+
+    # IVF + PQ share one vectors stage in the same index root
+    root2 = str(tmp_path / "both")
+    build_ann_index(spark, emb, root2)
+    snaps_pq = build_pq_index(spark, emb, root2)
+    assert set(snaps_pq) == {"pq_codebooks", "pq_codes"}  # vectors reused
