@@ -517,3 +517,29 @@ _register(
     _q_ann_pq_indexed,
     _pq_oracle_sql("vec_id < 5", k=3, dim=64),
 )
+
+
+# --------------------------------------------------------------------------
+# Composed IVF+PQ (operators/ann.ivfpq_topk) — the FAISS-style
+# production shape: the IVF coarse quantizer bounds candidates to the
+# query's probed cells, PQ/ADC ranks those candidates from one-byte
+# codes. At 10^12 rows a query touches n_probe inverted lists of codes,
+# never the raw vector table. Oracle: the IVF CTE chain + a p-prefixed
+# PQ CTE chain + candidate-restricted ADC (ann.ivfpq_oracle_sql).
+
+
+def _q_ann_ivfpq(spark, sf_dir):
+    from .operators.ann import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, F.col("vec_id") < 5, k=3)
+
+
+from .operators.ann import ivfpq_oracle_sql as _ivfpq_oracle_sql  # noqa: E402
+
+_register(
+    TEXT5,
+    "ann_ivfpq",
+    _q_ann_ivfpq,
+    _ivfpq_oracle_sql("vec_id < 5", k=3, dim=64),
+)

@@ -678,3 +678,229 @@ def pq_topk_rerank(
         .select("qid", "vec_id", F.round("l2", 6).alias("l2_dist"),
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --------------------------------------------------------------- IVF+PQ
+# The composed production shape (FAISS IVFPQ): the IVF coarse quantizer
+# bounds the candidate set to the query's n_probe cells, and PQ/ADC
+# ranks those candidates from codes alone — at 10^12 rows a query
+# touches n_probe inverted lists of one-byte codes, never the raw
+# vector table (except its own row).
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    ivf_rounds: int = 2,
+    m: int = PQ_M,
+    ncode: int = PQ_K,
+    pq_rounds: int = PQ_ROUNDS,
+    dim: int = 64,
+) -> DataFrame:
+    base = with_vectors(emb).localCheckpoint(eager=True)
+    # IVF coarse: bound candidates to probed cells
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("norm").alias("cn")
+    )
+    for _ in range(ivf_rounds):
+        cents = _lloyd_update(base, cents)
+    ranked = _rank_cells(base, cents)
+    cells = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cvid"), F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(query_pred & (F.col("rn") <= n_probe)).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("pcell")
+    )
+    cand = (
+        probes.join(cells, F.col("pcell") == F.col("cell"))
+        .filter(F.col("qid") != F.col("cvid"))
+        .select("qid", F.col("cvid").alias("vec_id"))
+        .distinct()
+    )
+    # PQ: codebooks + codes, then ADC restricted to the candidate set
+    subs = _pq_subvectors(base, m, dim).localCheckpoint(eager=True)
+    pq_cents = subs.filter(F.col("vec_id") < ncode).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    for _ in range(pq_rounds):
+        pq_cents = _pq_lloyd(subs, pq_cents)
+    codes = _pq_assign(subs, pq_cents).filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cvec"), "sub", F.col("cid").alias("code")
+    )
+    qsubs = subs.join(
+        base.filter(query_pred).select("vec_id"), "vec_id"
+    ).select(F.col("vec_id").alias("qid"), "sub", F.col("sv").alias("qv"))
+    lut = qsubs.join(F.broadcast(pq_cents), "sub").select(
+        F.col("qid").alias("lqid"),
+        F.col("sub").alias("lsub"),
+        F.col("cid").alias("lcid"),
+        _pq_l2(F.col("qv"), F.col("cv")).alias("d"),
+    )
+    pair_d = (
+        cand.join(codes, cand.vec_id == codes.cvec)
+        .join(
+            lut,
+            (F.col("qid") == F.col("lqid"))
+            & (F.col("sub") == F.col("lsub"))
+            & (F.col("code") == F.col("lcid")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "d"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        pair_d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivfpq_oracle_sql(
+    query_where: str,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    ivf_rounds: int = 2,
+    m: int = PQ_M,
+    ncode: int = PQ_K,
+    pq_rounds: int = PQ_ROUNDS,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the IVF CTE chain bounds
+    candidates, the (p-prefixed) PQ CTE chain produces codes, ADC ranks
+    within candidates only."""
+    d = dim // m
+    # ---- IVF section (identical text to ivf_oracle_sql internals)
+    rank_sql = (
+        "SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ("
+        "SELECT v.vec_id, c.cid, list_sum(list_transform(range(1, {dd} + 1), "
+        "i -> v.e[i] * c.ce[i])) / (v.norm * c.cn) AS ccos FROM e v, c{r} c)"
+    )
+    q = f"{KMEANS_Q!r}"
+    ctes = [
+        "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS e FROM embeddings)",
+        "e AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x)))"
+        " AS norm FROM e0)",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce, norm AS cn FROM e"
+        f" WHERE vec_id < {n_centroids})",
+    ]
+    for r in range(ivf_rounds):
+        ctes.append(f"a{r} AS ({rank_sql.format(dd=dim, r=r)})")
+        ctes.append(
+            f"m{r} AS (SELECT a.cid AS cell, t.i AS pos,"
+            f" sum(CAST(floor(v.e[t.i] * {q} + 0.5) AS BIGINT)) AS s,"
+            f" count(*) AS cnt"
+            f" FROM (SELECT vec_id, cid FROM a{r} WHERE rn = 1) a"
+            f" JOIN e v ON v.vec_id = a.vec_id"
+            f" CROSS JOIN range(1, {dim} + 1) t(i)"
+            f" GROUP BY a.cid, t.i)"
+        )
+        ctes.append(
+            f"n{r} AS (SELECT cell AS cid,"
+            f" list(CAST(s AS DOUBLE) / ({q} * cnt) ORDER BY pos) AS ce"
+            f" FROM m{r} GROUP BY cell)"
+        )
+        ctes.append(
+            f"c{r + 1} AS (SELECT o.cid, coalesce(n.ce, o.ce) AS ce,"
+            f" sqrt(list_sum(list_transform(coalesce(n.ce, o.ce), x -> x * x)))"
+            f" AS cn FROM c{r} o LEFT JOIN n{r} n ON n.cid = o.cid)"
+        )
+    ctes.append(f"ranked AS ({rank_sql.format(dd=dim, r=ivf_rounds)})")
+    ctes.append("cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)")
+    ctes.append(
+        f"probes AS (SELECT vec_id AS qid, cid AS pcell FROM ranked"
+        f" WHERE {query_where} AND rn <= {n_probe})"
+    )
+    ctes.append(
+        "cand AS (SELECT DISTINCT p.qid, l.vec_id FROM probes p"
+        " JOIN cells l ON l.cell = p.pcell AND l.vec_id != p.qid)"
+    )
+    # ---- PQ section (p-prefixed CTEs; identical text to pq_oracle_sql)
+    passign = (
+        "SELECT vec_id, sub, cid, row_number() OVER"
+        " (PARTITION BY vec_id, sub ORDER BY l2 ASC, cid) AS rn FROM ("
+        "SELECT a.vec_id, a.sub, c.cid,"
+        " list_sum(list_transform(range(1, {dd} + 1),"
+        " i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS l2"
+        " FROM subs a JOIN pk{r} c ON c.sub = a.sub)"
+    )
+    ctes.append(
+        f"subs AS (SELECT vec_id, CAST(t.s AS BIGINT) AS sub,"
+        f" e[t.s * {d} + 1 : t.s * {d} + {d}] AS sv"
+        f" FROM e0 CROSS JOIN range(0, {m}) t(s))"
+    )
+    ctes.append(
+        f"pk0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs"
+        f" WHERE vec_id < {ncode})"
+    )
+    for r in range(pq_rounds):
+        ctes.append(f"pa{r} AS ({passign.format(dd=d, r=r)})")
+        ctes.append(
+            f"pm{r} AS (SELECT a.sub, a.cid AS cell, t.i AS pos,"
+            f" sum(CAST(floor(v.sv[t.i] * {q} + 0.5) AS BIGINT)) AS s,"
+            f" count(*) AS cnt"
+            f" FROM (SELECT vec_id, sub, cid FROM pa{r} WHERE rn = 1) a"
+            f" JOIN subs v ON v.vec_id = a.vec_id AND v.sub = a.sub"
+            f" CROSS JOIN range(1, {d} + 1) t(i)"
+            f" GROUP BY a.sub, a.cid, t.i)"
+        )
+        ctes.append(
+            f"pn{r} AS (SELECT sub, cell AS cid,"
+            f" list(CAST(s AS DOUBLE) / ({q} * cnt) ORDER BY pos) AS cv"
+            f" FROM pm{r} GROUP BY sub, cell)"
+        )
+        ctes.append(
+            f"pk{r + 1} AS (SELECT o.sub, o.cid, coalesce(n.cv, o.cv) AS cv"
+            f" FROM pk{r} o LEFT JOIN pn{r} n"
+            f" ON n.sub = o.sub AND n.cid = o.cid)"
+        )
+    ctes.append(f"paf AS ({passign.format(dd=d, r=pq_rounds)})")
+    ctes.append(
+        "codes AS (SELECT vec_id, sub, cid AS code FROM paf WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qsubs AS (SELECT vec_id AS qid, sub, sv AS qv FROM subs"
+        f" WHERE {query_where})"
+    )
+    ctes.append(
+        f"lut AS (SELECT a.qid, a.sub, c.cid,"
+        f" list_sum(list_transform(range(1, {d} + 1),"
+        f" i -> (a.qv[i] - c.cv[i]) * (a.qv[i] - c.cv[i]))) AS dd"
+        f" FROM qsubs a JOIN pk{pq_rounds} c ON c.sub = a.sub)"
+    )
+    ctes.append(
+        "pair AS (SELECT cand.qid, cand.vec_id,"
+        " list_sum(list(l.dd ORDER BY l.sub)) AS adc"
+        " FROM cand"
+        " JOIN codes cd ON cd.vec_id = cand.vec_id"
+        " JOIN lut l ON l.qid = cand.qid AND l.sub = cd.sub"
+        " AND l.cid = cd.code"
+        " GROUP BY cand.qid, cand.vec_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT qid, vec_id, round(adc, 6) AS adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id)
+                   AS rank
+        FROM pair
+    ) WHERE rank <= {k}
+    """
+    )

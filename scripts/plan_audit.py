@@ -241,6 +241,24 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # round-5: composed IVF+PQ — both quantizer assignments are the
+    # deliberate broadcast-NLJ against tiny codebooks; candidate
+    # generation and the code/LUT joins must stay equi-joins, zero
+    # Python anywhere
+    audit(
+        "ann_ivfpq",
+        _TEXT5["ann_ivfpq"],
+        expect=("BroadcastNestedLoopJoin",),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-5: PQ/ADC — same contract
+    audit(
+        "ann_pq_adc",
+        _TEXT5["ann_pq_adc"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
