@@ -543,3 +543,163 @@ _register(
     _q_ann_ivfpq,
     _ivfpq_oracle_sql("vec_id < 5", k=3, dim=64),
 )
+
+
+# --------------------------------------------------------------------------
+# FILTERED vector search (metadata-constrained ANN): IVF probe + exact
+# re-rank restricted to English documents — the filter is a left-semi
+# join on the inverted lists BEFORE re-rank, so disallowed vectors are
+# never fetched. Oracle: the shared IVF CTE chain with the lang join
+# appended to the candidate CTE.
+
+
+def _q_ann_ivf_filtered(spark, sf_dir):
+    from .operators.ann import ivf_topk_filtered
+
+    emb = _t(spark, sf_dir, "embeddings")
+    allowed = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return ivf_topk_filtered(
+        emb, allowed, F.col("vec_id") < 5, k=3, n_centroids=16, n_probe=2, rounds=2
+    )
+
+
+from .operators.ann import ivf_oracle_sql as _ivf_oracle_sql  # noqa: E402
+
+_register(
+    TEXT5,
+    "ann_ivf_filtered",
+    _q_ann_ivf_filtered,
+    _ivf_oracle_sql(
+        "vec_id < 5",
+        k=3,
+        n_centroids=16,
+        n_probe=2,
+        rounds=2,
+        dim=64,
+        cand_filter_sql=(
+            "JOIN documents d ON d.doc_id = l.vec_id AND d.lang = 'en'"
+        ),
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup PAIRS (Google's web-dedup construction): 16-bit
+# simhash per doc (shared arithmetic with `simhash16`), banded into 4x
+# 4-bit keys — by pigeonhole any pair within Hamming distance 3 shares
+# at least one band — then the exact Hamming verify on band-collision
+# candidates only. Same coarse-equi-join + exact-refine shape as the
+# MinHash path; never an all-pairs join.
+#
+# Corpus caveat (measured): these synthetic docs draw from ~40 shared
+# words with similar frequencies, and simhash fingerprints the token
+# DISTRIBUTION — so collisions are inherently dense here (the banding
+# still prunes 78% of pairs; a 32-bit variant measured NO extra
+# discrimination, every pair colliding on some band). Real web corpora
+# have heavy-tailed vocabularies where 64-bit simhash separates well;
+# the operator shape (banded candidates + exact Hamming verify) is the
+# production one regardless.
+
+from .operators.dedup import (  # noqa: E402
+    TOKEN_HASH_SQL as _SH_HASH_SQL,
+    token_hash_col as _sh_hash_col,
+)
+
+_SH_MAXHAM = 3
+
+
+def _q_simhash_dup_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = _sh_hash_col(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    sigs = agg.select("doc_id", sim.cast("long").alias("sh"))
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("band"),
+                        F.shiftright("sh", 4 * bb)
+                        .bitwiseAND(F.lit(15))
+                        .alias("bv"),
+                    )
+                    for bb in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bv"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bv"
+    )
+    pairs = (
+        a.join(b2, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(
+            F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+        ).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= _SH_MAXHAM)
+
+
+_sh_sql_sums = ",\n           ".join(
+    f"sum(CASE WHEN (({_SH_HASH_SQL.format(t='tok')} >> {b}) & 1) = 1"
+    f" THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_sh_sql_combine = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+_register(
+    TEXT5,
+    "simhash_dup_pairs",
+    _q_simhash_dup_pairs,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), agg AS (
+        SELECT doc_id, {_sh_sql_sums}
+        FROM toks GROUP BY doc_id
+    ), sigs AS (
+        SELECT doc_id, CAST({_sh_sql_combine} AS BIGINT) AS sh FROM agg
+    ), bands AS (
+        SELECT doc_id, sh, t.b AS band,
+               (sh >> (4 * t.b)) & 15 AS bv
+        FROM sigs CROSS JOIN range(0, 4) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sh AS sh_a, b.sh AS sh_b
+        FROM bands a JOIN bands b
+          ON b.band = a.band AND b.bv = a.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAXHAM}
+    """,
+)

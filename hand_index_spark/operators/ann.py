@@ -285,6 +285,7 @@ def ivf_oracle_sql(
     n_probe: int = 2,
     rounds: int = 2,
     dim: int = 64,
+    cand_filter_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivf_topk` — one CTE chain per Lloyd round
     (a{r} assignment, m{r} quantized component sums, c{r+1} centroids
@@ -332,9 +333,11 @@ def ivf_oracle_sql(
         f"probes AS (SELECT vec_id AS qid, cid AS pcell FROM ranked"
         f" WHERE {query_where} AND rn <= {n_probe})"
     )
+    extra = f" {cand_filter_sql}" if cand_filter_sql else ""
     ctes.append(
         "cand AS (SELECT DISTINCT p.qid, l.vec_id FROM probes p"
-        " JOIN cells l ON l.cell = p.pcell AND l.vec_id != p.qid)"
+        " JOIN cells l ON l.cell = p.pcell AND l.vec_id != p.qid"
+        + extra + ")"
     )
     ctes.append(
         f"sims AS (SELECT cand.qid, cand.vec_id,"
@@ -904,3 +907,49 @@ def ivfpq_oracle_sql(
     ) WHERE rank <= {k}
     """
     )
+
+
+def ivf_topk_filtered(
+    emb: DataFrame,
+    allowed: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    rounds: int = 2,
+) -> DataFrame:
+    """FILTERED vector search (the metadata-constrained ANN every
+    serving stack ships): identical to :func:`ivf_topk`, but candidate
+    rows must also appear in ``allowed`` (a one-column vec_id frame,
+    e.g. docs with lang='en'). The filter applies as a left-semi join
+    on the inverted lists BEFORE re-rank — pre-filtering, so the top-k
+    is exact over the allowed subset of the probed cells, and the
+    re-rank never touches disallowed vectors (at 10^12 rows the
+    metadata predicate prunes the candidate fetch itself, not the
+    result)."""
+    base = with_vectors(emb).localCheckpoint(eager=True)
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("norm").alias("cn")
+    )
+    for _ in range(rounds):
+        cents = _lloyd_update(base, cents)
+    ranked = _rank_cells(base, cents)
+    cells = (
+        ranked.filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cvid"), F.col("cid").alias("cell"))
+        .join(
+            allowed.select(F.col(allowed.columns[0]).alias("cvid")),
+            "cvid",
+            "left_semi",
+        )
+    )
+    probes = ranked.filter(query_pred & (F.col("rn") <= n_probe)).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("pcell")
+    )
+    cand = (
+        probes.join(cells, F.col("pcell") == F.col("cell"))
+        .filter(F.col("qid") != F.col("cvid"))
+        .select("qid", F.col("cvid").alias("vec_id"))
+        .distinct()
+    )
+    return exact_rerank(base, cand, query_pred, k)
