@@ -703,3 +703,125 @@ _register(
     FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAXHAM}
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Composed Gopher-style QUALITY FILTER — the published keep/drop stage
+# (Rae et al. rules adapted to this corpus's scale): token count in
+# range, mean token length in range, duplicate-2-gram fraction below
+# threshold, top-2-gram fraction below threshold. Emits every signal
+# plus the verdict so downstream stages filter on `keep` and audits
+# read the reasons. One explode + two keyed aggs; fractions are exact
+# single divisions (bit parity).
+
+# thresholds sit INSIDE this corpus's signal distributions (n_tokens
+# p10=21, dup_frac p90=0.065, top_frac p90=0.069) so the verdict
+# actually discriminates — a filter that keeps 100% tests nothing
+_QF_MIN_TOK, _QF_MAX_TOK = 25, 100000
+_QF_MIN_MWL, _QF_MAX_MWL = 4.0, 12.0
+_QF_MAX_DUP, _QF_MAX_TOP = 0.06, 0.07
+
+
+def _q_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_tok = F.size("t").cast("long")
+    # mean word length: exact ints divided once (sum of lengths / count)
+    len_sum = F.aggregate(
+        F.transform("t", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    base = toks.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (len_sum.cast("double") / n_tok.cast("double")).alias("mean_word_len"),
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), (i + 1).cast("int")),
+                        F.element_at(F.col("t"), (i + 2).cast("int")),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                (F.sum("c") - F.count(F.lit(1))).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("dup_frac"),
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_frac"
+            ),
+        )
+    )
+    out = base.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round(F.coalesce("dup_frac", F.lit(0.0)), 6).alias("dup_frac"),
+        F.round(F.coalesce("top_frac", F.lit(0.0)), 6).alias("top_frac"),
+    )
+    keep = (
+        (F.col("n_tokens") >= _QF_MIN_TOK)
+        & (F.col("n_tokens") <= _QF_MAX_TOK)
+        & (F.col("mean_word_len") >= _QF_MIN_MWL)
+        & (F.col("mean_word_len") <= _QF_MAX_MWL)
+        & (F.col("dup_frac") <= _QF_MAX_DUP)
+        & (F.col("top_frac") <= _QF_MAX_TOP)
+    )
+    return out.withColumn("keep", keep)
+
+
+_register(
+    TEXT5,
+    "quality_filter",
+    _q_quality_filter,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+                    AS DOUBLE) / CAST(len(t) AS DOUBLE) AS mean_word_len
+        FROM toks
+    ), bi AS (
+        SELECT doc_id, u.bg
+        FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+             unnest(list_transform(range(0, len(t) - 1),
+                    i -> concat(t[i + 1], ' ', t[i + 2]))) AS u(bg)
+    ), pg AS (
+        SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+    ), rep AS (
+        SELECT doc_id,
+               CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                   AS dup_frac,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+        FROM pg GROUP BY doc_id
+    ), joined AS (
+        SELECT b.doc_id, b.n_tokens,
+               round(b.mean_word_len, 6) AS mean_word_len,
+               round(coalesce(r.dup_frac, 0.0), 6) AS dup_frac,
+               round(coalesce(r.top_frac, 0.0), 6) AS top_frac
+        FROM base b LEFT JOIN rep r ON r.doc_id = b.doc_id
+    )
+    SELECT doc_id, n_tokens, mean_word_len, dup_frac, top_frac,
+           (n_tokens >= {_QF_MIN_TOK} AND n_tokens <= {_QF_MAX_TOK}
+            AND mean_word_len >= {_QF_MIN_MWL!r}
+            AND mean_word_len <= {_QF_MAX_MWL!r}
+            AND dup_frac <= {_QF_MAX_DUP!r}
+            AND top_frac <= {_QF_MAX_TOP!r}) AS keep
+    FROM joined
+    """,
+)

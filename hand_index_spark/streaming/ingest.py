@@ -93,3 +93,35 @@ def windowed_rollup(pages: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
         .groupBy(F.window(F.col(ts_col), "1 hour"), F.col("cell_id"))
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+
+
+def stream_ann_ingest(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Round 5: continuous ANN index growth — stream new embedding rows
+    into the PERSISTED IVF index via ``foreachBatch`` ->
+    :func:`pipelines.ann_index.add_vectors`. The quantizer stays
+    frozen (the standard serving contract); each micro-batch merges the
+    vectors + assignments tables with the batch id as the stage
+    fingerprint, so crash-replayed batches are skipped — exactly-once
+    index growth on top of Spark's at-least-once recovery, identical to
+    the page-ingest sink's contract."""
+    from ..pipelines.ann_index import add_vectors
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_vectors(spark, index_root, batch_df, fingerprint=f"batch-{batch_id}")
+
+    w = (
+        emb_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -320,3 +320,69 @@ def test_stream_icelite_exactly_once_under_midwrite_crash(
     # byte-level sanity: every doc_id exactly once
     ids = [r.doc_id for r in table2.read(spark).select("doc_id").collect()]
     assert sorted(ids) == list(range(200))
+
+
+def test_stream_ann_ingest_grows_index_exactly_once(spark, tmp_path):
+    """Round 5: streamed embedding batches grow the persisted IVF index
+    via add_vectors; served top-k equals a batch build whose quantizer
+    trained on the same initial corpus, and a full checkpoint-fresh
+    replay changes nothing (fingerprint-guarded merges)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.pipelines.ann_index import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+    from hand_index_spark.streaming.ingest import stream_ann_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    h1 = emb.filter(F.col("vec_id") < 250)
+
+    # reference: one-shot build, quantizer trained on the first half
+    ref_root = str(tmp_path / "ref")
+    build_ann_index(spark, emb, ref_root, train_pred=F.col("vec_id") < 250)
+    ref = sorted(
+        (r.qid, r.vec_id, r.sim, r.rank)
+        for r in ivf_topk_indexed(
+            spark, ref_root, F.col("vec_id") < 5, k=3, n_probe=2
+        ).collect()
+    )
+
+    # streamed: index built on the first half, second half arrives as
+    # two streamed files
+    inc_root = str(tmp_path / "inc")
+    build_ann_index(spark, h1, inc_root)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 375)) \
+        .coalesce(1).write.parquet(f"{src}/f1")
+    emb.filter(F.col("vec_id") >= 375).coalesce(1).write.parquet(f"{src}/f2")
+    schema = spark.read.parquet(f"{src}/f1").schema
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = stream_ann_ingest(spark, stream, inc_root, str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    drain("ck1")
+    got = sorted(
+        (r.qid, r.vec_id, r.sim, r.rank)
+        for r in ivf_topk_indexed(
+            spark, inc_root, F.col("vec_id") < 5, k=3, n_probe=2
+        ).collect()
+    )
+    assert got == ref  # streamed growth == batch build, bit-for-bit
+
+    # checkpoint-fresh replay: every batch re-offered, every merge
+    # skipped by its fingerprint
+    from hand_index_spark.tables.icelite import IceliteTable
+
+    n_before = IceliteTable(inc_root, "vectors").read(spark).count()
+    drain("ck2")
+    assert IceliteTable(inc_root, "vectors").read(spark).count() == n_before == 500
