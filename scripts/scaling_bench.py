@@ -20,6 +20,18 @@ import sys
 import time
 from datetime import datetime, timezone
 
+
+def cpu_probe_mops() -> float:
+    """Single-thread interpreter throughput — the host-REGIME probe
+    (BENCH/NOTES.md): ~18-27 Mops healthy, ~6-8 Mops in the throttled
+    regime where the host cannot feed 8 busy workers and N-vs-4N
+    efficiency collapses regardless of engine behavior."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_000_000):
+        x += i
+    return round(1.0 / (time.perf_counter() - t0), 1)
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
@@ -101,7 +113,9 @@ def main() -> None:
     n, n4 = LEVELS
     pairs: list[tuple[float, float, float]] = []  # (efficiency, t_n, t_4n)
     samples = {}
+    probes: list[float] = []
     for r in range(rounds):
+        probes.append(cpu_probe_mops())
         ts = {}
         for cpus in LEVELS:
             dt, sample = run_level(cpus)
@@ -136,6 +150,9 @@ def main() -> None:
         "rows_per_sec_4n": round(ROWS / results[n4]),
         "efficiency": round(efficiency, 3),
         "identical_output": identical,
+        # regime evidence: a sub-healthy probe means the host could not
+        # sustain the 4N level during this window (see BENCH/NOTES.md)
+        "cpu_mops_rounds": probes,
     }
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
