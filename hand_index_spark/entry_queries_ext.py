@@ -199,11 +199,12 @@ _JAC_EXPR = (
     " / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6)"
 )
 
-_register(
-    TEXT2,
-    "jaccard_pairs",
-    _q_jaccard_pairs,
-    f"""
+# SQL twin of operators.dedup capped_candidate_pairs (exact-dedup
+# pre-pass -> minhash -> salted band buckets -> bounded self-join) plus
+# the per-doc token-set CTE — the shared prefix for every
+# candidate-pair refine oracle (jaccard_pairs here, containment_pairs
+# in entry_queries_r5).
+LSH_CAND_CTE_SQL = f"""
     WITH reps AS (
         SELECT doc_id, text FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
@@ -234,7 +235,13 @@ _register(
              AND a.doc_id < b.doc_id
     ), s AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
-    )
+    )"""
+
+_register(
+    TEXT2,
+    "jaccard_pairs",
+    _q_jaccard_pairs,
+    f"""{LSH_CAND_CTE_SQL}
     SELECT id_a, id_b, {_JAC_EXPR} AS jac
     FROM cand JOIN s a ON a.doc_id = cand.id_a JOIN s b ON b.doc_id = cand.id_b
     WHERE {_JAC_EXPR} >= 0.2

@@ -825,3 +825,211 @@ _register(
     FROM joined
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document (classic keyword extraction over the
+# web corpus; reference has no text stack — this is the LLM-pipeline
+# keyword/feature op). Score = tf * ln(N/df): tf and df are exact
+# integer counts on both sides, the ln argument is ONE division of
+# exact ints-as-doubles, and ranking runs on the ROUNDED score with a
+# (score DESC, term) total order so an ulp of libm-ln disagreement can
+# never reorder rows.
+
+_TFIDF_TOPK = 3
+
+
+def _q_tfidf_topterms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny exact scalar (bm25 precedent)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .select("doc_id", "rk", "term", "tf", "score")
+    )
+
+
+_register(
+    TEXT5,
+    "tfidf_topterms",
+    _q_tfidf_topterms,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / df.df), 6) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tf, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, rk, term, tf, score FROM ranked WHERE rk <= {_TFIDF_TOPK}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# PMI bigram collocations (corpus-level phrase mining — the "new york"
+# detector every web-text tokenizer pipeline runs before vocab
+# building). pmi = ln(p(ab) / (p(a) p(b))) computed as
+# (cab/Nb) / ((ca/Nu) * (cb/Nu)) with every count an exact int and the
+# association order pinned on both sides; ranking on the rounded pmi
+# with (pmi DESC, ta, tb) total order.
+
+_PMI_MIN_CAB = 5
+_PMI_TOPN = 100
+
+
+def _q_pmi_bigrams(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    nu = toks.agg(F.sum(F.size("t"))).collect()[0][0]  # total tokens
+    nb = (
+        toks.filter(F.size("t") >= 2)
+        .agg(F.sum(F.size("t") - F.lit(1)))
+        .collect()[0][0]
+    )  # total bigrams
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), (i + 1).cast("int")).alias("ta"),
+                        F.element_at(F.col("t"), (i + 2).cast("int")).alias("tb"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.ta", "bg.tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _PMI_MIN_CAB)
+    )
+    pa = F.col("ca").cast("double") / F.lit(float(nu))
+    pb = F.col("cb").cast("double") / F.lit(float(nu))
+    pab = F.col("cab").cast("double") / F.lit(float(nb))
+    scored = (
+        bi.join(uni.select(F.col("tok").alias("ta"), F.col("c").alias("ca")), "ta")
+        .join(uni.select(F.col("tok").alias("tb"), F.col("c").alias("cb")), "tb")
+        .withColumn("pmi", F.round(F.log(pab / (pa * pb)), 6))
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("ta"), F.col("tb"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PMI_TOPN)
+        .select("rk", "ta", "tb", "cab", "pmi")
+    )
+
+
+_register(
+    TEXT5,
+    "pmi_bigrams",
+    _q_pmi_bigrams,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), stats AS (
+        SELECT (SELECT CAST(sum(len(t)) AS DOUBLE) FROM toks) AS nu,
+               (SELECT CAST(sum(len(t) - 1) AS DOUBLE) FROM toks
+                WHERE len(t) >= 2) AS nb
+    ), uni AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), bi AS (
+        SELECT string_split(bg, ' ')[1] AS ta, string_split(bg, ' ')[2] AS tb
+        FROM (SELECT t FROM toks WHERE len(t) >= 2),
+             unnest(list_transform(range(0, len(t) - 1),
+                    i -> concat(t[i + 1], ' ', t[i + 2]))) AS u(bg)
+    ), cab AS (
+        SELECT ta, tb, count(*) AS cab FROM bi GROUP BY ta, tb
+        HAVING count(*) >= {_PMI_MIN_CAB}
+    ), scored AS (
+        SELECT c.ta, c.tb, c.cab,
+               round(ln((CAST(c.cab AS DOUBLE) / s.nb)
+                        / ((CAST(ua.c AS DOUBLE) / s.nu)
+                           * (CAST(ub.c AS DOUBLE) / s.nu))), 6) AS pmi
+        FROM cab c
+        JOIN uni ua ON ua.tok = c.ta
+        JOIN uni ub ON ub.tok = c.tb
+        CROSS JOIN stats s
+    ), ranked AS (
+        SELECT ta, tb, cab, pmi,
+               row_number() OVER (ORDER BY pmi DESC, ta, tb) AS rk
+        FROM scored
+    )
+    SELECT rk, ta, tb, cab, pmi FROM ranked WHERE rk <= {_PMI_TOPN}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Asymmetric near-containment pairs over the SAME capped LSH candidate
+# generation as jaccard_pairs: |A∩B| / min(|A|,|B|) — catches
+# quote/mirror/boilerplate-wrapper duplicates whose Jaccard stays low
+# because the sizes differ. Candidate CTE prefix is shared verbatim
+# with the jaccard_pairs oracle (entry_queries_ext.LSH_CAND_CTE_SQL).
+
+_CONT_THRESHOLD = 0.6
+_CONT_EXPR = (
+    "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)"
+    " / CAST(least(len(a.ws), len(b.ws)) AS DOUBLE), 6)"
+)
+
+
+def _q_containment_pairs(spark, sf_dir):
+    from .entry_queries_ext import _BUCKET_CAP
+    from .operators.dedup import (
+        capped_candidate_pairs,
+        containment_refine,
+        dedup_base,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = dedup_base(d)
+    pairs = capped_candidate_pairs(base=base, cap=_BUCKET_CAP)
+    return containment_refine(d, pairs, threshold=_CONT_THRESHOLD, base=base)
+
+
+def _containment_sql() -> str:
+    from .entry_queries_ext import LSH_CAND_CTE_SQL
+
+    return f"""{LSH_CAND_CTE_SQL}
+    SELECT id_a, id_b, {_CONT_EXPR} AS containment
+    FROM cand JOIN s a ON a.doc_id = cand.id_a JOIN s b ON b.doc_id = cand.id_b
+    WHERE {_CONT_EXPR} >= {_CONT_THRESHOLD!r}
+    """
+
+
+_register(TEXT5, "containment_pairs", _q_containment_pairs, _containment_sql())

@@ -431,3 +431,55 @@ def jaccard_refine(
         )
     )
     return j.filter(F.col("jac") >= F.lit(threshold)).select("id_a", "id_b", "jac")
+
+
+def containment_refine(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-containment on candidate pairs only:
+    ``|A ∩ B| / min(|A|, |B|)`` — the "is the smaller doc mostly a
+    substring-set of the larger" test web-corpus pipelines use to catch
+    quotes/mirrors/boilerplate wrappers that Jaccard misses when sizes
+    differ (J <= min/max can stay tiny while containment is 1.0). Same
+    id-key join shape as :func:`jaccard_refine`: candidates come from
+    the capped LSH self-join, token sets travel once, one IEEE division
+    per pair."""
+    if base is not None:
+        sets = base.select(F.col(id_col), F.col("ws"))
+    else:
+        sets = docs.select(
+            F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("ws")
+        )
+    sets = sets.withColumn("nw", F.size("ws").cast("long"))
+    j = (
+        pairs.join(
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col("ws").alias("wa"),
+                F.col("nw").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("ws").alias("wb"),
+                F.col("nw").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("wa", "wb")).cast("double")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("containment") >= F.lit(threshold)).select(
+        "id_a", "id_b", "containment"
+    )

@@ -259,6 +259,30 @@ def main() -> None:
         forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # round-5 text additions: TF-IDF / PMI are pure Catalyst
+    # explode+agg+window pipelines (zero Python, no cross joins);
+    # containment_pairs shares jaccard_pairs' one-scan candidate
+    # contract (checkpointed base, bounded bucket self-join)
+    audit(
+        "tfidf_topterms",
+        _TEXT5["tfidf_topterms"],
+        expect=("Generate", "HashAggregate", "Window"),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    audit(
+        "pmi_bigrams",
+        _TEXT5["pmi_bigrams"],
+        expect=("Generate", "HashAggregate", "Window"),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    audit(
+        "containment_pairs",
+        _TEXT5["containment_pairs"],
+        expect=("HashAggregate", "Scan ExistingRDD"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython", "Scan parquet"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

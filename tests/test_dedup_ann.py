@@ -144,6 +144,35 @@ def test_jaccard_refine_verifies_candidates_only(spark):
     assert set(out) <= {(1, 2), (1, 3)}
 
 
+def test_containment_catches_size_skewed_pairs_jaccard_misses(spark):
+    """A 4-token doc fully contained in a 20-token doc: Jaccard = 4/20
+    = 0.2 (borderline) but containment = 4/4 = 1.0 — the quote/mirror
+    shape containment_refine exists for. And an unrelated pair scores
+    0 on both."""
+    from hand_index_spark.operators.dedup import containment_refine
+
+    big = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "w0 w1 w2 w3"),
+            (2, big),
+            (3, "x0 x1 x2 x3"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    jac = {
+        (r.id_a, r.id_b): r.jac
+        for r in jaccard_refine(docs, pairs, threshold=0.0).collect()
+    }
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_refine(docs, pairs, threshold=0.6).collect()
+    }
+    assert abs(jac[(1, 2)] - 4 / 20) < 1e-9  # jaccard sees a weak match
+    assert cont == {(1, 2): 1.0}  # containment sees a full quote; (1,3) dropped
+
+
 def test_min_label_components_known_graph(spark):
     """Chain 1-2-3, pair 10-11, isolated 20 -> components {1,1,1},
     {10,10}, {20}; sizes 3/3/3/2/2/1."""
