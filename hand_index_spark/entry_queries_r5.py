@@ -1033,3 +1033,111 @@ def _containment_sql() -> str:
 
 
 _register(TEXT5, "containment_pairs", _q_containment_pairs, _containment_sql())
+
+
+# --------------------------------------------------------------------------
+# PageRank over a deterministic web link graph (the canonical web-scale
+# iterative op; reference has no graph stack). Edges are synthesized
+# closed-form from doc ids (3 pseudo-random out-links per page, self
+# loops dropped, dedup'd). The rank is FIXED-POINT: scale 2^30,
+# per-edge contribution rank_q div deg (exact integer), damping
+# 0.85/0.15 applied as *85 div 100 on the exact integer sum — so every
+# aggregate is an ORDER-FREE integer sum and the 5-iteration result is
+# bit-identical on any partitioning (same trick as the quantized-Lloyd
+# k-means oracle). Spark runs the classic join-agg loop with the edge
+# frame checkpointed once; the oracle unrolls the 5 iterations as
+# nested CTEs (lateral-alias rule: one subquery per iteration).
+
+_PR_SCALE = 1 << 30
+_PR_ITERS = 5
+_PR_FANOUT = 3
+
+
+def _q_pagerank_links(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(_PR_FANOUT))).alias("j"),
+        )
+        .withColumn(
+            "dst", (F.col("src") * F.lit(31) + F.col("j") * F.lit(17)) % F.lit(n)
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = ((_PR_SCALE * 15) // 100) // n  # exact python ints == SQL //
+    init = _PR_SCALE // n
+    ranks = nodes.withColumn("rank_q", F.lit(init).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_q div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(coalesce(s, 0) * 85) div 100")
+                ).cast("long").alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias("doc_id"), "rank_q")
+
+
+def _pagerank_sql() -> str:
+    js = ", ".join(str(j) for j in range(1, _PR_FANOUT + 1))
+    head = f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src,
+                   (doc_id * 31 + j * 17) % (SELECT n FROM nn) AS dst
+            FROM documents, unnest([{js}]) AS u(j)
+        ) WHERE dst <> src
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (
+        SELECT node,
+               CAST(CAST({_PR_SCALE} AS BIGINT) // (SELECT n FROM nn) AS BIGINT) AS rank_q
+        FROM nodes
+    )"""
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        prev = f"r{k - 1}"
+        iters.append(f""",
+    r{k} AS (
+        SELECT nodes.node,
+               CAST(((CAST({_PR_SCALE} AS BIGINT) * 15) // 100) // (SELECT n FROM nn)
+                    + (coalesce(c.s, 0) * 85) // 100 AS BIGINT) AS rank_q
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum({prev}.rank_q // d.deg) AS s
+            FROM edges e
+            JOIN {prev} ON {prev}.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) c ON c.node = nodes.node
+    )""")
+    return (
+        head
+        + "".join(iters)
+        + f"\n    SELECT node AS doc_id, rank_q FROM r{_PR_ITERS}\n    "
+    )
+
+
+_register(TEXT5, "pagerank_links", _q_pagerank_links, _pagerank_sql())

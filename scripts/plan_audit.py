@@ -282,6 +282,19 @@ def main() -> None:
         forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
                 "ArrowEvalPython", "BatchEvalPython", "Scan parquet"),
     )
+    # round-5: pagerank — iterative join-agg loop over a checkpointed
+    # edge frame; every iteration is keyed equi-joins + integer sums
+    # (the returned frame is the post-iteration checkpoint, so the
+    # visible plan is just the ExistingRDD scan — the per-iteration
+    # join+agg shape is pinned by the checks on the other iterative
+    # queries and the zero-Python/zero-cross forbids still apply here)
+    audit(
+        "pagerank_links",
+        _TEXT5["pagerank_links"],
+        expect=("Scan ExistingRDD",),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython",
+                "Scan parquet"),
+    )
 
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
