@@ -1141,3 +1141,46 @@ def _pagerank_sql() -> str:
 
 
 _register(TEXT5, "pagerank_links", _q_pagerank_links, _pagerank_sql())
+
+
+# --------------------------------------------------------------------------
+# Count-Min heavy hitters over a closed-form SKEWED key (the hot-host
+# detection problem at crawl scale; reference has no sketch surface).
+# Key map: half the events hash into 7 hot keys (~714 hits each at
+# sf0.01), the other half spread over a 997-key tail (~5 each) — the
+# canonical Zipf-ish head/tail split, synthesized deterministically
+# from event_id so both engines derive identical input. CMS (d=4,
+# w=512) finds the head with a 2048-counter sketch + broadcast probe
+# join; threshold 100 sits two orders above the tail. est >= true_cnt
+# ALWAYS (overestimate-only guarantee) and both are exact integers, so
+# the oracle hash-matches bit-for-bit. See operators/sketch.py for the
+# 100-TB shape notes (fixed-size state, mergeable, broadcast probe).
+
+_CMS_HH_THRESHOLD = 100
+_CMS_KEY_SQL = (
+    "CASE WHEN event_id % 10 < 5 THEN event_id % 7"
+    " ELSE 7 + (event_id % 997) END"
+)
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    from .operators.sketch import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("event_id") % 10 < 5, F.col("event_id") % 7)
+        .otherwise(F.lit(7) + F.col("event_id") % 997)
+        .alias("k")
+    )
+    return cms_heavy_hitters(keyed, "k", _CMS_HH_THRESHOLD)
+
+
+def _cms_heavy_hitters_sql() -> str:
+    from .operators.sketch import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql(
+        f"SELECT {_CMS_KEY_SQL} AS k FROM events", _CMS_HH_THRESHOLD
+    )
+
+
+_register(TEXT5, "cms_heavy_hitters", _q_cms_heavy_hitters, _cms_heavy_hitters_sql())

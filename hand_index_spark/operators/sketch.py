@@ -139,3 +139,142 @@ def hll_estimate_sql(table: str, col: str) -> str:
              END, 4) AS est
     FROM agg a, truth t
     """
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch + heavy hitters. The fixed-size hot-key detector the
+# brief's skew story needs at 10^12 rows: the sketch is d*w integer
+# counters REGARDLESS of key cardinality (a 10^9-host domain costs the
+# same 2048-row state as a 10-host one), counters are order-free integer
+# sums (exact under any partition order -> bit-identical oracle), and
+# sketches merge by addition, so per-partition/day/table sketches union
+# for free. The estimate join broadcasts the sketch (<= d*w rows by
+# construction) — no shuffle of the probe side. Same portable hash
+# family as HLL (affine round + quadratic mixing; every intermediate
+# fits int64 in both engines).
+
+CMS_D = 4
+CMS_W = 512
+# same frozen primes as the MinHash permutation params (dedup.PERMS)
+CMS_PARAMS = [
+    (1299721, 15485863),
+    (7919, 32452843),
+    (104729, 49979687),
+    (224737, 67867967),
+]
+
+
+def cms_bucket_col(key: Column, j: int) -> Column:
+    """Row-j bucket for an integer key. key%1000003 keeps the product
+    int64-exact at 10^12-row key ranges; h < 2^31 keeps h*h in int64
+    (DuckDB errors on BIGINT overflow where Spark wraps)."""
+    a, b = CMS_PARAMS[j]
+    h = ((key % F.lit(1000003)) * F.lit(a) + F.lit(b)) % F.lit(_HASH_MOD)
+    return ((h * h + F.lit(3) * h + F.lit(7919)) % F.lit(_HASH_MOD)) % F.lit(CMS_W)
+
+
+def cms_bucket_sql(key: str, j: int) -> str:
+    a, b = CMS_PARAMS[j]
+    h = f"((({key} % 1000003) * {a} + {b}) % {_HASH_MOD})"
+    return f"((({h} * {h} + 3 * {h} + 7919) % {_HASH_MOD}) % {CMS_W})"
+
+
+def cms_sketch(df: DataFrame, key_col: str) -> DataFrame:
+    """(j, bkt, cnt) — one scan, explode to d rows per input row, ONE
+    groupBy shuffle whose exchange carries <= d*w rows per map task
+    (partial aggregation collapses everything map-side)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_bucket_col(F.col(key_col), j).alias("bkt"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.j").alias("j"), F.col("p.bkt").alias("bkt"))
+        .groupBy("j", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, threshold: int) -> DataFrame:
+    """(hot_key, est, true_cnt) for keys whose CMS point estimate
+    (min over d rows of the bucket counter) reaches ``threshold``.
+    ``true_cnt`` rides along (exact groupBy) so the driver compare also
+    pins the sketch's overestimate-only guarantee: est >= true always.
+    The sketch side of the probe join is broadcast — it is <= d*w rows
+    by construction, the textbook broadcast-able dim."""
+    sk = cms_sketch(df, key_col)
+    keys = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = keys.select(
+        F.col(key_col),
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_bucket_col(F.col(key_col), j).alias("bkt"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select(F.col(key_col), "true_cnt", F.col("p.j").alias("j"), F.col("p.bkt").alias("bkt"))
+    est = (
+        probes.join(F.broadcast(sk), ["j", "bkt"])
+        .groupBy(key_col)
+        .agg(
+            F.min("cnt").alias("est"),
+            F.min("true_cnt").alias("true_cnt"),
+        )
+    )
+    return est.filter(F.col("est") >= F.lit(threshold)).select(
+        F.col(key_col).alias("hot_key"),
+        F.col("est").cast("long").alias("est"),
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+    )
+
+
+def cms_heavy_hitters_sql(keyed_cte: str, threshold: int) -> str:
+    """DuckDB twin: ``keyed_cte`` must be a CTE body yielding one
+    column ``k`` (one row per input row); the UNION ALL branches are
+    the explode, everything else is the same arithmetic."""
+    sketch_branches = "\n        UNION ALL ".join(
+        f"SELECT {j} AS j, {cms_bucket_sql('k', j)} AS bkt FROM keyed"
+        for j in range(CMS_D)
+    )
+    probe_branches = "\n        UNION ALL ".join(
+        f"SELECT k, true_cnt, {j} AS j, {cms_bucket_sql('k', j)} AS bkt FROM keys"
+        for j in range(CMS_D)
+    )
+    return f"""
+    WITH keyed AS ({keyed_cte}),
+    pairs AS (
+        {sketch_branches}
+    ),
+    sketch AS (
+        SELECT j, bkt, count(*) AS cnt FROM pairs GROUP BY j, bkt
+    ),
+    keys AS (
+        SELECT k, count(*) AS true_cnt FROM keyed GROUP BY k
+    ),
+    probes AS (
+        {probe_branches}
+    ),
+    est AS (
+        SELECT p.k, min(s.cnt) AS est, min(p.true_cnt) AS true_cnt
+        FROM probes p JOIN sketch s ON s.j = p.j AND s.bkt = p.bkt
+        GROUP BY p.k
+    )
+    SELECT k AS hot_key,
+           CAST(est AS BIGINT) AS est,
+           CAST(true_cnt AS BIGINT) AS true_cnt
+    FROM est WHERE est >= {threshold}
+    """

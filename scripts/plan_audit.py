@@ -295,6 +295,15 @@ def main() -> None:
         forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython",
                 "Scan parquet"),
     )
+    # round-5: CMS heavy hitters — the probe join must BROADCAST the
+    # sketch (<= d*w rows by construction); no cross joins, no Python
+    audit(
+        "cms_heavy_hitters",
+        _TEXT5["cms_heavy_hitters"],
+        expect=("BroadcastHashJoin", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "ArrowEvalPython", "BatchEvalPython"),
+    )
 
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
