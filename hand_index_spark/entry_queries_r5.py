@@ -1184,3 +1184,74 @@ def _cms_heavy_hitters_sql() -> str:
 
 
 _register(TEXT5, "cms_heavy_hitters", _q_cms_heavy_hitters, _cms_heavy_hitters_sql())
+
+
+# --------------------------------------------------------------------------
+# WARC source roundtrip (sources/warc.py): serialize the input-hint
+# pages into Common-Crawl-layout .warc.gz files (one gzip member per
+# record, applyInPandas writer — task count == file count), read them
+# back through the binaryFile + mapInPandas parser, and prove the
+# whole archive cycle preserves every byte: record count, WARC-Date,
+# HTTP status/mime, body length, body sha256, and the input_hint's
+# byte-identical-extracted-text invariant all recomputed closed-form
+# by the oracle straight from the documents table.
+
+
+def _q_warc_roundtrip(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .operators.multimodal import attach_html_binary
+    from .pipelines.assign_tiles import web_pages_from_documents
+    from .sources.warc import read_warc, write_warc_files
+
+    pages = attach_html_binary(web_pages_from_documents(spark, sf_dir))
+    pages = pages.withColumn(
+        "warc_ts_iso",
+        F.date_format(
+            F.expr(
+                "timestamp'2025-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+            ),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ),
+    )
+    out = _fresh_dir("warc_")
+    write_warc_files(
+        pages.select("doc_id", "url", "warc_ts_iso", "html"), out
+    ).collect()  # materialize the archive (tiny manifest frame)
+    parsed = read_warc(spark, out + "/*.warc.gz")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extracted = F.regexp_replace(F.decode(F.col("html"), "utf-8"), "<[^>]*>", "")
+    return (
+        parsed.withColumn(
+            "doc_id", F.regexp_extract("url", r"/d(\d+)$", 1).cast("long")
+        )
+        .join(docs, "doc_id")
+        .select(
+            "url",
+            "warc_ts",
+            F.col("http_status").cast("long").alias("http_status"),
+            "mime",
+            F.length("html").cast("long").alias("n_bytes"),
+            F.sha2(F.decode(F.col("html"), "utf-8"), 256).alias("sha_html"),
+            (F.sha2(extracted, 256) == F.sha2(F.col("text"), 256)).alias(
+                "byte_identical"
+            ),
+        )
+    )
+
+
+_WARC_SQL = """
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+         || '.example/d' || CAST(doc_id AS VARCHAR) AS url,
+       strftime(TIMESTAMP '2025-01-01 00:00:00'
+                + doc_id * INTERVAL 1 SECOND, '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+       CAST(200 AS BIGINT) AS http_status,
+       'text/html' AS mime,
+       CAST(12 + length(text) + 14 AS BIGINT) AS n_bytes,
+       sha256('<html><body>' || text || '</body></html>') AS sha_html,
+       TRUE AS byte_identical
+FROM documents
+"""
+
+
+_register(TEXT5, "warc_roundtrip", _q_warc_roundtrip, _WARC_SQL)
