@@ -1255,3 +1255,73 @@ FROM documents
 
 
 _register(TEXT5, "warc_roundtrip", _q_warc_roundtrip, _WARC_SQL)
+
+
+# --------------------------------------------------------------------------
+# Positional inverted index + exact phrase search (the search-engine
+# core op over crawl text; complements bm25_search which ranks bags of
+# words — this one intersects POSITIONS). Postings are (tok, doc_id,
+# pos) from one posexplode; the 3-term phrase match is two keyed
+# equi-joins on (doc_id, pos+k) — shuffle on the composite key, term
+# filters pushed to the scan, no broadcast needed and no
+# quadratic blowup: each join's left side is already one term's
+# posting list (~1/|V| of the corpus), which is exactly how a
+# sharded index intersects postings at 10^12 docs. Spark posexplode
+# is 0-based, DuckDB WITH ORDINALITY is 1-based (ord-1 aligns them);
+# neither side drops empty tokens so positions agree by construction.
+
+_PHRASE = ("hash", "join", "scan")
+
+
+def _q_phrase_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    t0, t1, t2 = _PHRASE
+    a = toks.filter(F.col("tok") == t0).select("doc_id", "pos")
+    b = toks.filter(F.col("tok") == t1).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    c = toks.filter(F.col("tok") == t2).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .join(c, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def _phrase_search_sql() -> str:
+    t0, t1, t2 = _PHRASE
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok0 AS (
+        -- no WITH ORDINALITY in this DuckDB: positions via
+        -- list_transform + unnest (same idiom as the pmi oracle)
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                                     i -> struct_pack(pos := i - 1,
+                                                      tok := t[i]))) AS u
+        FROM base
+    ), toks AS (
+        SELECT doc_id, u.tok AS tok, u.pos AS pos FROM tok0
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    WHERE a.tok = '{t0}' AND b.tok = '{t1}' AND c.tok = '{t2}'
+    GROUP BY a.doc_id
+    """
+
+
+_register(TEXT5, "phrase_search", _q_phrase_search, _phrase_search_sql())

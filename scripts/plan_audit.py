@@ -305,6 +305,16 @@ def main() -> None:
                 "SortMergeJoin", "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # round-5: phrase search — posexplode postings + keyed equi-joins
+    # on (doc_id, pos+k); term filters must stay pushed, no cross join
+    audit(
+        "phrase_search",
+        _TEXT5["phrase_search"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
