@@ -1325,3 +1325,190 @@ def _phrase_search_sql() -> str:
 
 
 _register(TEXT5, "phrase_search", _q_phrase_search, _phrase_search_sql())
+
+
+# --------------------------------------------------------------------------
+# Crawl snapshot delta (Common Crawl ships monthly snapshots; the
+# first question any consumer asks is "what changed?"). Two snapshots
+# are derived closed-form from documents: snapshot B rewrites text for
+# doc_id%10==0 (changed), drops doc_id%10==1 (removed), and adds new
+# urls (doc_id%10==2 re-keyed past the id range). ONE full-outer
+# equi-join on url classifies every row; the output is the per-status
+# rollup (count + doc_id checksum) so the compare pins the whole
+# classification. Scale shape: a single shuffle on url — the join key
+# is unique per side, AQE handles skew, no broadcast required.
+
+
+def _q_crawl_delta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    url = F.concat(F.lit("https://site/d"), F.col("doc_id").cast("string"))
+    old = d.select(
+        url.alias("url"),
+        F.col("doc_id").alias("old_id"),
+        F.sha2(F.col("text"), 256).alias("old_sha"),
+    )
+    new = (
+        d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .filter(F.col("doc_id") % 10 != 1)
+        .select("doc_id", "text")
+        .union(
+            d.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + F.lit(n_docs)).alias("doc_id"), "text"
+            )
+        )
+        .select(
+            F.concat(F.lit("https://site/d"), F.col("doc_id").cast("string")).alias(
+                "url"
+            ),
+            F.col("doc_id").alias("new_id"),
+            F.sha2(F.col("text"), 256).alias("new_sha"),
+        )
+    )
+    j = old.join(new, "url", "full_outer")
+    status = (
+        F.when(F.col("old_id").isNull(), F.lit("added"))
+        .when(F.col("new_id").isNull(), F.lit("removed"))
+        .when(F.col("old_sha") != F.col("new_sha"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"), F.coalesce("new_id", "old_id").alias("id"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+_CRAWL_DELTA_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+old AS (
+    SELECT 'https://site/d' || CAST(doc_id AS VARCHAR) AS url,
+           doc_id AS old_id, sha256(text) AS old_sha
+    FROM documents
+),
+new AS (
+    SELECT 'https://site/d' || CAST(doc_id AS VARCHAR) AS url,
+           doc_id AS new_id,
+           sha256(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)
+             AS new_sha
+    FROM documents WHERE doc_id % 10 <> 1
+    UNION ALL
+    SELECT 'https://site/d' || CAST(doc_id + (SELECT n FROM nn) AS VARCHAR),
+           doc_id + (SELECT n FROM nn), sha256(text)
+    FROM documents WHERE doc_id % 10 = 2
+),
+j AS (
+    SELECT CASE WHEN old_id IS NULL THEN 'added'
+                WHEN new_id IS NULL THEN 'removed'
+                WHEN old_sha <> new_sha THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           coalesce(new_id, old_id) AS id
+    FROM old FULL OUTER JOIN new USING (url)
+)
+SELECT status, count(*) AS n_urls, CAST(sum(id) AS BIGINT) AS id_sum
+FROM j GROUP BY status
+"""
+
+
+_register(TEXT5, "crawl_delta", _q_crawl_delta, _CRAWL_DELTA_SQL)
+
+
+# --------------------------------------------------------------------------
+# robots.txt longest-prefix-match filtering (the crawl-side admission
+# op; Googlebot semantics: the MOST SPECIFIC matching rule wins, allow
+# wins length ties). Rules are a closed-form per-host dim (3 rules per
+# host: default allow '/', even hosts disallow '/d', every host
+# re-allows '/d<h%10>'), derived from the same url scheme as the page
+# rows — so the dim is tiny relative to pages (the real-world shape:
+# ~1 robots.txt per host vs ~10^6 pages per host), and the match join
+# broadcasts it: equi-join on host + a startswith residual, then one
+# window picks the longest matching prefix per url. No cross join:
+# the host equi-key bounds candidates to that host's own rules.
+
+
+def _q_robots_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 97).alias("host"),
+        F.concat(F.lit("/d"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    hosts = pages.select("host").distinct()
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(F.lit("/").alias("prefix"), F.lit("allow").alias("rule")),
+                F.struct(F.lit("/d").alias("prefix"), F.lit("disallow").alias("rule")),
+                F.struct(
+                    F.concat(F.lit("/d"), (F.col("host") % 10).cast("string")).alias(
+                        "prefix"
+                    ),
+                    F.lit("allow").alias("rule"),
+                ),
+            )
+        ).alias("r"),
+    ).select("host", F.col("r.prefix").alias("prefix"), F.col("r.rule").alias("rule"))
+    rules = rules.filter(
+        (F.col("prefix") != F.lit("/d")) | (F.col("host") % 2 == 0)
+    )
+    m = pages.join(F.broadcast(rules), "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    w = (
+        Window.partitionBy("url")
+        .orderBy(F.length("prefix").desc(), F.col("rule").asc())
+    )
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", F.col("rule").alias("verdict"), F.col("prefix").alias("matched_prefix"))
+    )
+    return best
+
+
+_ROBOTS_SQL = """
+WITH pages AS (
+    SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+             || '.example/d' || CAST(doc_id AS VARCHAR) AS url,
+           doc_id % 97 AS host,
+           '/d' || CAST(doc_id AS VARCHAR) AS path
+    FROM documents
+),
+hosts AS (SELECT DISTINCT host FROM pages),
+rules AS (
+    SELECT host, '/' AS prefix, 'allow' AS rule FROM hosts
+    UNION ALL
+    SELECT host, '/d', 'disallow' FROM hosts WHERE host % 2 = 0
+    UNION ALL
+    SELECT host, '/d' || CAST(host % 10 AS VARCHAR), 'allow' FROM hosts
+),
+m AS (
+    SELECT p.url, r.prefix, r.rule,
+           row_number() OVER (
+               PARTITION BY p.url
+               ORDER BY length(r.prefix) DESC, r.rule ASC
+           ) AS rn
+    FROM pages p JOIN rules r
+      ON r.host = p.host AND starts_with(p.path, r.prefix)
+)
+SELECT url, rule AS verdict, prefix AS matched_prefix FROM m WHERE rn = 1
+"""
+
+
+_register(TEXT5, "robots_filter", _q_robots_filter, _ROBOTS_SQL)

@@ -315,6 +315,24 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # round-5: crawl delta — ONE shuffle join on url, no cross, no Python
+    audit(
+        "crawl_delta",
+        _TEXT5["crawl_delta"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-5: robots filter — the rules dim must BROADCAST (host
+    # equi-key + startswith residual); longest-prefix pick is one window
+    audit(
+        "robots_filter",
+        _TEXT5["robots_filter"],
+        expect=("BroadcastHashJoin", "Window"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
