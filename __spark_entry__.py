@@ -60,8 +60,7 @@ DRIVER_SAMPLE_ORDER = [
     "partitioned_roundtrip", "icelite_merge", "lineage_counts",
     # relational / window
     "pricing_summary", "join_left_3way", "window_dedup",
-    "topn_per_group", "upsert_dedup", "regexp_path_join",
-    "quantiles",
+    "topn_per_group", "regexp_path_join", "crawl_delta",
     # temporal joins
     "asof_join_latest_order", "range_join_followers",
     # structured streaming
@@ -74,8 +73,9 @@ DRIVER_SAMPLE_ORDER = [
     # text analysis
     "langid", "lm_score", "bm25_search", "html_extract_text",
     # multimodal / codecs
-    "multimodal_decode", "png_decode_stats", "jpeg_decode_stats",
-    "dem_slope_stats",
+    "multimodal_decode", "jpeg_decode_stats", "dem_slope_stats",
+    # sources (WARC archive cycle), graph, sketches
+    "warc_roundtrip", "pagerank_links", "cms_heavy_hitters",
     # sessionization, sketches, datetime surface
     "sessionize", "hll_distinct", "datetime_functions",
 ]
