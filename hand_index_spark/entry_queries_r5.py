@@ -1512,3 +1512,85 @@ SELECT url, rule AS verdict, prefix AS matched_prefix FROM m WHERE rn = 1
 
 
 _register(TEXT5, "robots_filter", _q_robots_filter, _ROBOTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Webgraph extraction + anchor-text aggregation: build html WITH
+# embedded <a href> anchors closed-form (same 3-out-link formula as
+# pagerank_links, so parse -> graph -> rank is one coherent story),
+# extract the links back out of the markup JVM-side (regexp_extract_all,
+# no Python), and aggregate per target: in-link count, distinct
+# referrers, anchor text. The oracle derives the graph INDEPENDENTLY
+# from the closed form — it never sees the html — so the regex
+# extraction path is what's actually being verified. Scale shape: one
+# Generate (explode) + one groupBy shuffle on dst; anchor aggregation
+# at 10^12 pages is exactly this plan with the dst key salted if a
+# target is viral (salted_histogram covers that variant).
+
+
+def _q_anchor_agg(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    link = lambda j: F.concat(
+        F.lit('<a href="https://site/d'),
+        ((F.col("doc_id") * 31 + j * 17) % F.lit(n)).cast("string"),
+        F.lit('">anchor d'),
+        ((F.col("doc_id") * 31 + j * 17) % F.lit(n)).cast("string"),
+        F.lit("</a>"),
+    )
+    pages = d.select(
+        F.col("doc_id").alias("src"),
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            link(1),
+            link(2),
+            link(3),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    extracted = pages.select(
+        "src",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(html,"
+                " '<a href=\"https://site/d(\\\\d+)\">([^<]+)</a>', 1)"
+            )
+        ).alias("dst_s"),
+    ).select("src", F.col("dst_s").cast("long").alias("dst"))
+    return (
+        extracted.filter(F.col("dst") != F.col("src"))
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("src").cast("long").alias("n_srcs"),
+        )
+        .select(
+            "dst",
+            "n_inlinks",
+            "n_srcs",
+            F.concat(F.lit("anchor d"), F.col("dst").cast("string")).alias(
+                "top_anchor"
+            ),
+        )
+    )
+
+
+_ANCHOR_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+links AS (
+    SELECT doc_id AS src,
+           (doc_id * 31 + j * 17) % (SELECT n FROM nn) AS dst
+    FROM documents, unnest([1, 2, 3]) AS u(j)
+)
+SELECT dst,
+       count(*) AS n_inlinks,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
+       'anchor d' || CAST(dst AS VARCHAR) AS top_anchor
+FROM links WHERE dst <> src
+GROUP BY dst
+"""
+
+
+_register(TEXT5, "anchor_agg", _q_anchor_agg, _ANCHOR_SQL)
