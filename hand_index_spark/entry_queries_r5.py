@@ -1594,3 +1594,84 @@ GROUP BY dst
 
 
 _register(TEXT5, "anchor_agg", _q_anchor_agg, _ANCHOR_SQL)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (functions/urlnorm.py): every doc contributes
+# TWO raw variants — a messy one (upper-cased scheme/host, explicit
+# :443, /./ or /seg/../ dot-segments, swapped query order, fragment)
+# and the clean one — and the proof obligation is that both collapse
+# to the SAME canonical string: groupBy(canonical) must count exactly
+# 2 for every doc. The oracle writes the canonical form closed-form
+# (never running the normalizer) AND independently re-runs the DuckDB
+# twin of the normalizer on the messy variant; the query output pins
+# both paths.
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    from .functions.urlnorm import canonical_url_col
+
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 97).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://Site"), h, F.lit(".Example"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/x/../a/d"), i))
+        .otherwise(F.concat(F.lit("/a/./d"), i)),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    clean = F.concat(
+        F.lit("https://site"), h, F.lit(".example/a/d"), i, F.lit("?a=1&b=2")
+    )
+    variants = d.select(
+        F.col("doc_id"), F.explode(F.array(messy, clean)).alias("url_raw")
+    )
+    return (
+        variants.select("doc_id", canonical_url_col(F.col("url_raw")).alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").cast("long").alias("doc_id"),
+        )
+    )
+
+
+def _url_canonicalize_sql() -> str:
+    from .functions.urlnorm import canonical_url_sql
+
+    return f"""
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+               || '://Site' || CAST(doc_id % 97 AS VARCHAR) || '.Example'
+               || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0
+                        THEN '/x/../a/d' || CAST(doc_id AS VARCHAR)
+                        ELSE '/a/./d' || CAST(doc_id AS VARCHAR) END)
+               || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+               AS url_messy
+        FROM documents
+    ),
+    variants AS (
+        -- twin normalizer applied to the messy variant...
+        SELECT doc_id, {canonical_url_sql('url_messy')} AS canon FROM raw
+        UNION ALL
+        -- ...and the closed-form canonical for the clean variant
+        SELECT doc_id,
+               'https://site' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example/a/d' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+        FROM documents
+    )
+    SELECT canon, count(*) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM variants GROUP BY canon
+    """
+
+
+_register(TEXT5, "url_canonicalize", _q_url_canonicalize, _url_canonicalize_sql())

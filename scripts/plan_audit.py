@@ -333,6 +333,16 @@ def main() -> None:
                 "SortMergeJoin", "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # round-5: url canonicalization — pure per-row Catalyst expressions
+    # + one groupBy; no join at all, no Python
+    audit(
+        "url_canonicalize",
+        _TEXT5["url_canonicalize"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+                "BroadcastHashJoin", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
