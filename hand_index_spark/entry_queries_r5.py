@@ -1675,3 +1675,91 @@ def _url_canonicalize_sql() -> str:
 
 
 _register(TEXT5, "url_canonicalize", _q_url_canonicalize, _url_canonicalize_sql())
+
+
+# --------------------------------------------------------------------------
+# Template clustering: group pages by MARKUP STRUCTURE, not content —
+# the boilerplate-detection pass a crawl pipeline runs before text
+# extraction (pages from one CMS template share a tag sequence even
+# though their text differs; content dedup can't see that). The
+# structure fingerprint is sha256 over the concatenated tag-name
+# sequence (regexp_extract_all '<([a-z]+)' — attributes and text
+# stripped), here over html synthesized with 4 closed-form template
+# variants. One Generate-free per-row regex pass + one groupBy: the
+# same plan at 10^12 pages, with the fingerprint itself the shuffle
+# key (uniform by construction of sha).
+
+
+def _q_template_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tpl = F.col("doc_id") % 4
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body>"),
+        F.when(tpl == 0, F.concat(F.lit("<div><p>"), F.col("text"), F.lit("</p></div>")))
+        .when(tpl == 1, F.concat(F.lit("<article><p>"), F.col("text"), F.lit("</p><footer>f</footer></article>")))
+        .when(tpl == 2, F.concat(F.lit("<div><span>"), F.col("text"), F.lit("</span><nav>n</nav></div>")))
+        .otherwise(F.concat(F.lit("<section><p>"), F.col("text"), F.lit("</p><p>x</p></section>"))),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    fp = F.sha2(
+        F.array_join(
+            F.expr("regexp_extract_all(html, '<([a-z]+)', 1)"), ","
+        ),
+        256,
+    )
+    return (
+        pages.select(fp.alias("template_fp"))
+        .groupBy("template_fp")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+_TEMPLATE_SQL = """
+WITH pages AS (
+    SELECT doc_id,
+           '<html><head><title>t</title></head><body>'
+           || CASE doc_id % 4
+                WHEN 0 THEN '<div><p>' || text || '</p></div>'
+                WHEN 1 THEN '<article><p>' || text || '</p><footer>f</footer></article>'
+                WHEN 2 THEN '<div><span>' || text || '</span><nav>n</nav></div>'
+                ELSE '<section><p>' || text || '</p><p>x</p></section>'
+              END
+           || '</body></html>' AS html
+    FROM documents
+)
+SELECT sha256(array_to_string(regexp_extract_all(html, '<([a-z]+)', 1), ','))
+         AS template_fp,
+       count(*) AS n_pages
+FROM pages GROUP BY 1
+"""
+
+
+_register(TEXT5, "template_clusters", _q_template_clusters, _TEMPLATE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Grouped HLL: per-event-type distinct-user sketches (the per-segment
+# cardinality dashboard at crawl scale: distinct hosts per TLD,
+# distinct users per surface, ... — one pass, one (group, bucket)
+# shuffle whose exchange is <= 256 rows per group REGARDLESS of
+# cardinality). n_true rides along so the driver compare pins both
+# the estimate arithmetic and the exact path; the harmonic sum stays
+# order-free per group (powers of two), so the estimate hash-matches
+# bit-for-bit across any partitioning.
+
+
+def _q_hll_by_group(spark, sf_dir):
+    from .operators.sketch import hll_estimate_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate_grouped(ev, "event_type", "user_id")
+
+
+def _hll_by_group_sql() -> str:
+    from .operators.sketch import hll_estimate_grouped_sql
+
+    return hll_estimate_grouped_sql("events", "event_type", "user_id")
+
+
+_register(TEXT5, "hll_by_group", _q_hll_by_group, _hll_by_group_sql())

@@ -278,3 +278,84 @@ def cms_heavy_hitters_sql(keyed_cte: str, threshold: int) -> str:
            CAST(true_cnt AS BIGINT) AS true_cnt
     FROM est WHERE est >= {threshold}
     """
+
+
+def hll_estimate_grouped(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-group HLL: (group, n_true, n_empty, est). The register
+    frame is keyed (group, bucket) — the grouped form of the same
+    one-pass shape, which is exactly how per-partition sketches merge
+    upward at 10^12 rows (max over registers is associative; grouping
+    columns just ride the key). The small-range ln() correction and
+    exact harmonic sum carry over unchanged per group."""
+    h = hll_hash_col(F.col(col))
+    regs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            (h % F.lit(HLL_M)).alias("bucket"),
+            F.floor(h / F.lit(HLL_M)).cast("long").alias("w"),
+        )
+        .withColumn("rank", _rank_case_col(F.col("w")))
+        .groupBy("g", "bucket")
+        .agg(F.max("rank").alias("mr"))
+    )
+    agg = regs.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    truth = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(col).alias("n_true")
+    )
+    out = agg.join(truth, "g").select(
+        "g",
+        "n_true",
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_empty"),
+        (
+            F.lit(ALPHA * HLL_M * HLL_M)
+            / (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")).cast("double"))
+        ).alias("raw"),
+    )
+    corrected = F.when(
+        (F.col("raw") <= F.lit(2.5 * HLL_M)) & (F.col("n_empty") > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / F.col("n_empty").cast("double")),
+    ).otherwise(F.col("raw"))
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_true",
+        "n_empty",
+        F.round(corrected, 4).alias("est"),
+    )
+
+
+def hll_estimate_grouped_sql(table: str, group_col: str, col: str) -> str:
+    """DuckDB twin of :func:`hll_estimate_grouped`."""
+    h = hll_hash_sql(col)
+    rank = _rank_case_sql("w")
+    est = f"""({ALPHA * HLL_M * HLL_M!r}
+            / (a.s_present + CAST({HLL_M} - a.n_present AS DOUBLE)))"""
+    return f"""
+    WITH hashes AS (
+        SELECT {group_col} AS g, {h} % {HLL_M} AS bucket,
+               CAST(floor({h} / {HLL_M}) AS BIGINT) AS w
+        FROM {table}
+    ), regs AS (
+        SELECT g, bucket, max({rank}) AS mr FROM hashes GROUP BY g, bucket
+    ), agg AS (
+        SELECT g, sum(pow(2.0, -mr)) AS s_present, count(*) AS n_present
+        FROM regs GROUP BY g
+    ), truth AS (
+        SELECT {group_col} AS g, count(DISTINCT {col}) AS n_true
+        FROM {table} GROUP BY {group_col}
+    )
+    SELECT t.g AS {group_col}, t.n_true,
+           CAST({HLL_M} - a.n_present AS BIGINT) AS n_empty,
+           round(
+             CASE WHEN {est} <= {2.5 * HLL_M!r}
+                   AND ({HLL_M} - a.n_present) > 0
+                  THEN {float(HLL_M)!r}
+                       * ln({float(HLL_M)!r}
+                            / CAST({HLL_M} - a.n_present AS DOUBLE))
+                  ELSE {est}
+             END, 4) AS est
+    FROM agg a JOIN truth t ON t.g = a.g
+    """
