@@ -343,6 +343,38 @@ def main() -> None:
                 "BroadcastHashJoin", "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # round-5: anchor extraction — per-row regex + one groupBy, no join
+    audit(
+        "anchor_agg",
+        _TEXT5["anchor_agg"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # round-5: WARC parse — the ONE legitimate Python stage (a byte-level
+    # source parser): exactly one MapInPandas over the binaryFile scan
+    audit(
+        "warc_roundtrip",
+        _TEXT5["warc_roundtrip"],
+        expect=("MapInPandas",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    # round-5: template fingerprint + grouped HLL — pure agg shapes
+    audit(
+        "template_clusters",
+        _TEXT5["template_clusters"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+                "BroadcastHashJoin", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    audit(
+        "hll_by_group",
+        _TEXT5["hll_by_group"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
