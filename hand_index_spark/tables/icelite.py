@@ -55,6 +55,7 @@ class IceliteTable:
         self.data_dir = os.path.join(self.base, "data")
         self.meta_dir = os.path.join(self.base, "_meta")
         self.lineage_dir = os.path.join(self.meta_dir, "lineage")
+        self.zonemap_dir = os.path.join(self.meta_dir, "zonemaps")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.lineage_dir, exist_ok=True)
 
@@ -117,6 +118,7 @@ class IceliteTable:
         fingerprint: str = "",
         mode: str = "overwrite",
         lineage_key: str | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Write df into a fresh data subdirectory, record lineage from
         the **committed files** (never by re-running the upstream plan),
@@ -155,6 +157,24 @@ class IceliteTable:
             .withColumn("write_id", F.lit(rel))
         )
         lin_df.write.mode("append").parquet(self.lineage_dir)
+        # zone maps: per-FILE column min/max, written executor-side like
+        # lineage (a groupBy on input_file_name — one row per committed
+        # file, so the frame is manifest-sized, never data-sized).
+        # read_pruned() later skips whole files whose [min,max] cannot
+        # intersect a predicate — Iceberg's data-skipping stats, rebuilt
+        if stats_cols:
+            aggs = []
+            for c in stats_cols:
+                aggs.append(F.min(c).alias(f"min__{c}"))
+                aggs.append(F.max(c).alias(f"max__{c}"))
+            os.makedirs(self.zonemap_dir, exist_ok=True)
+            (
+                committed.groupBy(F.input_file_name().alias("file"))
+                .agg(*aggs)
+                .withColumn("write_id", F.lit(rel))
+                .write.mode("append")
+                .parquet(self.zonemap_dir)
+            )
         # snapshot summary from the tiny committed lineage table (one
         # aggregate row to the driver, independent of partition count)
         summ = (
@@ -195,6 +215,7 @@ class IceliteTable:
                     else "0"
                 ),
                 "wall_ms": wall_ms,
+                "stats_cols": stats_cols or [],
             }
         )
         assert snap["snapshot_id"] == sid  # pointer swap is single-writer
@@ -218,6 +239,66 @@ class IceliteTable:
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.lineage_dir)
+
+    # ------------------------------------------------------------ zone maps
+
+    def pruned_files(
+        self, spark: SparkSession, col: str, lo, hi
+    ) -> tuple[list[str], int]:
+        """(surviving file paths, total files) for ``col BETWEEN lo AND
+        hi`` against the current snapshot's zone maps. The zonemap frame
+        is manifest-sized; collecting the surviving FILE LIST to the
+        driver is the same planning step every table format performs
+        (Iceberg manifests, Delta logs) — data rows never move."""
+        cur = self.current_snapshot()
+        if not cur or not cur.get("data_paths"):
+            raise ValueError("no snapshot / manifest to prune against")
+        if col not in (cur.get("stats_cols") or []):
+            raise ValueError(
+                f"no zone maps for column {col!r} in the current snapshot; "
+                f"write(stats_cols=[{col!r}]) first"
+            )
+        zm = spark.read.parquet(self.zonemap_dir).filter(
+            F.col("write_id").isin(list(cur["data_paths"]))
+        )
+        total = zm.count()
+        sel = (
+            zm.filter(
+                (F.col(f"max__{col}") >= F.lit(lo))
+                & (F.col(f"min__{col}") <= F.lit(hi))
+            )
+            .select("file")
+            .collect()
+        )
+        return [r["file"] for r in sel], total
+
+    def read_pruned(
+        self, spark: SparkSession, col: str, lo, hi
+    ) -> DataFrame:
+        """``read()`` + ``col BETWEEN lo AND hi``, but scanning ONLY the
+        files whose zone map can intersect the range (file skipping on a
+        NON-partition column — what directory layout alone cannot give).
+        The residual filter still applies, so results equal a full scan
+        + filter exactly; only the scanned byte count changes."""
+        files, _ = self.pruned_files(spark, col, lo, hi)
+        if not files:
+            return self.read(spark).filter(F.lit(False))
+        # leaf-file reads lose hive partition columns unless basePath is
+        # pinned; group by owning write dir and union (dirs are few)
+        by_dir: dict[str, list[str]] = {}
+        for f in files:
+            p = f[len("file:"):] if f.startswith("file:") else f
+            rel = os.path.relpath(p, self.data_dir)
+            wid = rel.split(os.sep)[0]
+            by_dir.setdefault(wid, []).append(p)
+        parts = []
+        for wid, fs in sorted(by_dir.items()):
+            base = os.path.join(self.data_dir, wid)
+            parts.append(spark.read.option("basePath", base).parquet(*sorted(fs)))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Time travel: read the table exactly as of ``snapshot_id``
