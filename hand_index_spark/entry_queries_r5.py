@@ -1763,3 +1763,43 @@ def _hll_by_group_sql() -> str:
 
 
 _register(TEXT5, "hll_by_group", _q_hll_by_group, _hll_by_group_sql())
+
+# --------------------------------------------------------------------------
+# Zone maps: per-file min/max column stats written at icelite commit +
+# file skipping on read (Iceberg's data-skipping stats rebuilt — the
+# prune a hive directory layout alone cannot give, reference's Iceberg
+# dependency in SURVEY §2.9). The query writes documents range-clustered
+# on doc_id into 4 files, reads back ONLY the files whose [min,max] can
+# intersect doc_id BETWEEN 100 AND 199, and proves the skip really
+# happened (`pruned`) alongside the data aggregates. Results equal a
+# full scan + filter exactly — only the scanned byte count changes —
+# so the DuckDB twin is the plain filtered aggregate.
+
+
+def _q_zonemap_pruned(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("icelite_zm_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = IceliteTable(root, "docs")
+    t.write(d.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"])
+    files, total = t.pruned_files(spark, "doc_id", 100, 199)
+    pr = t.read_pruned(spark, "doc_id", 100, 199)
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).withColumn("pruned", F.lit(len(files) < total))
+
+
+_register(
+    TEXT5,
+    "zonemap_pruned_read",
+    _q_zonemap_pruned,
+    """
+    SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS pruned
+    FROM documents WHERE doc_id BETWEEN 100 AND 199
+    """,
+)
