@@ -1803,3 +1803,59 @@ _register(
     FROM documents WHERE doc_id BETWEEN 100 AND 199
     """,
 )
+
+# --------------------------------------------------------------------------
+# Z-order clustering (Iceberg OPTIMIZE ... ZORDER BY rebuilt): documents
+# become a 32-wide integer grid (x = doc_id % 32, y = doc_id div 32),
+# get rewritten Z-order-clustered with zone maps on BOTH columns, and a
+# 2-D box read prunes via the conjunctive zone-map planner. The Morton
+# key itself rides along (min/max over the box) so the driver compare
+# pins the interleave arithmetic bit-for-bit against the SQL twin, not
+# just the row set. `pruned` is layout-guaranteed: the box x in [8,15],
+# y in [4,7] is an aligned Morton quadrant -> its 32 keys are CONTIGUOUS
+# ([96,127]), so they intersect at most 2 of the 8 range-partitioned
+# files under ANY range-boundary sampling.
+
+
+def _q_zorder_pruned(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .operators.zorder import cluster_zorder, zorder_key
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("icelite_zorder_")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 32).alias("x"),
+            F.expr("doc_id div 32").alias("y"),
+        )
+    )
+    t = IceliteTable(root, "grid")
+    t.write(cluster_zorder(d, "x", "y", n_files=8), stats_cols=["x", "y"])
+    preds = [("x", 8, 15), ("y", 4, 7)]
+    files, total = t.pruned_files_multi(spark, preds)
+    box = t.read_pruned_multi(spark, preds)
+    return box.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+        F.min(zorder_key(F.col("x"), F.col("y"))).alias("zk_min"),
+        F.max(zorder_key(F.col("x"), F.col("y"))).alias("zk_max"),
+    ).withColumn("pruned", F.lit(len(files) < total))
+
+
+def _zorder_pruned_sql() -> str:
+    from .operators.zorder import zorder_key_sql
+
+    zk = zorder_key_sql("x", "y")
+    return f"""
+    WITH pts AS (
+      SELECT doc_id, doc_id % 32 AS x, doc_id // 32 AS y FROM documents
+    )
+    SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           min({zk}) AS zk_min, max({zk}) AS zk_max, TRUE AS pruned
+    FROM pts WHERE x BETWEEN 8 AND 15 AND y BETWEEN 4 AND 7
+    """
+
+
+_register(TEXT5, "zorder_pruned_read", _q_zorder_pruned, _zorder_pruned_sql())

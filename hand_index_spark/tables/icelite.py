@@ -250,26 +250,36 @@ class IceliteTable:
         is manifest-sized; collecting the surviving FILE LIST to the
         driver is the same planning step every table format performs
         (Iceberg manifests, Delta logs) — data rows never move."""
+        return self.pruned_files_multi(spark, [(col, lo, hi)])
+
+    def pruned_files_multi(
+        self, spark: SparkSession, preds: list[tuple]
+    ) -> tuple[list[str], int]:
+        """Multi-column pruning: a file survives only if EVERY
+        ``(col, lo, hi)`` range can intersect its [min,max] — the
+        conjunction that makes Z-order layouts (operators/zorder.py)
+        skip all files outside a 2-D box, not just an x-stripe."""
         cur = self.current_snapshot()
         if not cur or not cur.get("data_paths"):
             raise ValueError("no snapshot / manifest to prune against")
-        if col not in (cur.get("stats_cols") or []):
-            raise ValueError(
-                f"no zone maps for column {col!r} in the current snapshot; "
-                f"write(stats_cols=[{col!r}]) first"
-            )
+        stats = cur.get("stats_cols") or []
+        for col, _, _ in preds:
+            if col not in stats:
+                raise ValueError(
+                    f"no zone maps for column {col!r} in the current "
+                    f"snapshot; write(stats_cols=[{col!r}]) first"
+                )
         zm = spark.read.parquet(self.zonemap_dir).filter(
             F.col("write_id").isin(list(cur["data_paths"]))
         )
         total = zm.count()
-        sel = (
-            zm.filter(
+        cond = F.lit(True)
+        for col, lo, hi in preds:
+            cond = cond & (
                 (F.col(f"max__{col}") >= F.lit(lo))
                 & (F.col(f"min__{col}") <= F.lit(hi))
             )
-            .select("file")
-            .collect()
-        )
+        sel = zm.filter(cond).select("file").collect()
         return [r["file"] for r in sel], total
 
     def read_pruned(
@@ -280,7 +290,18 @@ class IceliteTable:
         NON-partition column — what directory layout alone cannot give).
         The residual filter still applies, so results equal a full scan
         + filter exactly; only the scanned byte count changes."""
-        files, _ = self.pruned_files(spark, col, lo, hi)
+        return self.read_pruned_multi(spark, [(col, lo, hi)])
+
+    def read_pruned_multi(
+        self, spark: SparkSession, preds: list[tuple]
+    ) -> DataFrame:
+        """Conjunctive multi-range pruned read (see pruned_files_multi);
+        residual filters still apply, so results equal full scan +
+        filter exactly."""
+        files, _ = self.pruned_files_multi(spark, preds)
+        residual = F.lit(True)
+        for col, lo, hi in preds:
+            residual = residual & F.col(col).between(F.lit(lo), F.lit(hi))
         if not files:
             return self.read(spark).filter(F.lit(False))
         # leaf-file reads lose hive partition columns unless basePath is
@@ -298,7 +319,7 @@ class IceliteTable:
         out = parts[0]
         for d in parts[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
-        return out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return out.filter(residual)
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Time travel: read the table exactly as of ``snapshot_id``
@@ -394,6 +415,26 @@ class IceliteTable:
             df,
             stage=stage,
             fingerprint=f"compact-of-{cur['snapshot_id'] if cur else 'empty'}",
+        )
+
+    def optimize_zorder(
+        self, spark: SparkSession, x: str, y: str, n_files: int = 8
+    ) -> dict:
+        """Maintenance: rewrite the current snapshot Z-order-clustered
+        on (x, y) with zone maps on BOTH columns (Iceberg's
+        rewrite_data_files strategy=sort sort_order=zorder(x,y)). One
+        range shuffle on the Morton key; afterwards a 2-D box predicate
+        via :meth:`read_pruned_multi` touches O(perimeter) files. Row
+        set is byte-identical; old dirs stay for time travel."""
+        from ..operators.zorder import cluster_zorder
+
+        cur = self.current_snapshot()
+        df = cluster_zorder(self.read(spark), x, y, n_files)
+        return self.write(
+            df,
+            stage="optimize_zorder",
+            fingerprint=f"zorder-of-{cur['snapshot_id'] if cur else 'empty'}",
+            stats_cols=[x, y],
         )
 
     # --------------------------------------------------------------- vacuum

@@ -375,6 +375,17 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # zone-map pruned read: after the manifest-level file skip, the
+    # residual box predicate must STILL be pushed into the surviving
+    # files' parquet scan (two pruning layers), all JVM-side
+    audit(
+        "zorder_pruned_read",
+        _TEXT5["zorder_pruned_read"],
+        expect=("PushedFilters: [", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
