@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (128 queries as of round 5) and EVERY one carries a DuckDB
+SURVEY.md §2 (129 queries as of round 5) and EVERY one carries a DuckDB
 oracle — including the geo assignment (the tile grid is closed-form
 arithmetic, tables/tilegrid.py), the trig-bearing transforms (via
 discretization-safe comparisons), iterative graph clustering (via a
@@ -58,7 +58,7 @@ DRIVER_SAMPLE_ORDER = [
     "simplify_ring", "text_invariant", "union_overlap",
     # storage / icelite DML + lineage + zone-map file skipping
     "partitioned_roundtrip", "icelite_merge", "lineage_counts",
-    "zonemap_pruned_read", "zorder_pruned_read",
+    "zonemap_pruned_read", "zorder_pruned_read", "matview_incremental",
     # relational / window
     "pricing_summary", "join_left_3way", "window_dedup",
     "regexp_path_join", "crawl_delta",
@@ -67,7 +67,7 @@ DRIVER_SAMPLE_ORDER = [
     # structured streaming
     "stream_windowed", "stream_stream_join", "stream_icelite_ingest",
     # dedup / decontamination
-    "exact_dedup", "minhash_signatures", "lsh_dup_pairs",
+    "exact_dedup", "lsh_dup_pairs",
     "dedup_clusters", "decontam_exact",
     # embeddings / ANN
     "embedding_topk", "ann_ivf_indexed", "ann_lsh_topk",

@@ -1859,3 +1859,65 @@ def _zorder_pruned_sql() -> str:
 
 
 _register(TEXT5, "zorder_pruned_read", _q_zorder_pruned, _zorder_pruned_sql())
+
+# --------------------------------------------------------------------------
+# Incremental materialized view: a per-lang stats table over an
+# append-only icelite fact table, refreshed by reading ONLY the
+# directories appended since the last refresh (read_incremental) and
+# merging algebraic partials (count/sum add, min/max combine) — refresh
+# work is O(delta + |groups|), never O(table). The query drives the
+# full cycle (initial refresh on half the docs, append the other half,
+# INCREMENTAL refresh, serve) and the oracle is the one-shot aggregate
+# over everything: merge(old, delta) == full recompute, exactly.
+# delta_rows rides along to pin that the second refresh saw only the
+# appended half.
+
+
+def _q_matview_incremental(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .tables.icelite import IceliteTable
+    from .tables.matview import MaterializedAgg
+
+    root = _fresh_dir("icelite_mv_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = IceliteTable(root, "docs")
+    t.write(d.filter(F.col("doc_id") < 250))
+    mv = MaterializedAgg(
+        root,
+        "docs_by_lang",
+        t,
+        ["lang"],
+        [("count", "*"), ("sum", "n_chars"), ("min", "n_chars"), ("max", "n_chars")],
+    )
+    s1 = mv.refresh(spark)
+    t.write(d.filter(F.col("doc_id") >= 250), mode="append")
+    s2 = mv.refresh(spark)
+    assert s1["mode"] == "initial" and s2["mode"] == "incremental", (s1, s2)
+    return (
+        mv.serve(spark)
+        .select(
+            "lang",
+            "n",
+            "sum__n_chars",
+            "min__n_chars",
+            "max__n_chars",
+            F.round("avg__n_chars", 6).alias("avg_chars"),
+        )
+        .withColumn("delta_rows", F.lit(int(s2["delta_rows"])).cast("long"))
+    )
+
+
+_register(
+    TEXT5,
+    "matview_incremental",
+    _q_matview_incremental,
+    """
+    SELECT lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum__n_chars,
+           min(n_chars) AS min__n_chars, max(n_chars) AS max__n_chars,
+           round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*), 6)
+             AS avg_chars,
+           (SELECT count(*) FROM documents WHERE doc_id >= 250) AS delta_rows
+    FROM documents GROUP BY lang
+    """,
+)

@@ -49,6 +49,12 @@ class ConcurrentWriteError(RuntimeError):
     the table, re-derive the write, retry."""
 
 
+class NonAppendHistoryError(RuntimeError):
+    """The snapshot range contains a rewrite (overwrite / compact /
+    MERGE / DELETE), so "files added since" is not the row delta.
+    Incremental consumers catch this and fall back to a full scan."""
+
+
 class IceliteTable:
     def __init__(self, root: str, name: str):
         self.base = os.path.join(root, name)
@@ -231,6 +237,43 @@ class IceliteTable:
             return spark.read.parquet(self.data_dir)
         dfs = [
             spark.read.parquet(os.path.join(self.data_dir, p)) for p in paths
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def read_incremental(
+        self, spark: SparkSession, since_snapshot_id: int
+    ) -> DataFrame:
+        """Rows in data directories appended AFTER ``since_snapshot_id``
+        (Iceberg's incremental append scan). Only valid along an
+        append-only chain: if any later snapshot REMOVED a directory the
+        base snapshot referenced (overwrite / compact / MERGE / DELETE
+        rewrite), the delta is not expressible as "new files only" and
+        this raises — callers fall back to a full scan. This is the
+        primitive that makes downstream work proportional to the DELTA,
+        never the table (tables/matview.py)."""
+        cur = self.current_snapshot()
+        base = next(
+            (s for s in self.snapshots() if s["snapshot_id"] == since_snapshot_id),
+            None,
+        )
+        if cur is None or base is None:
+            raise ValueError(f"unknown snapshot {since_snapshot_id}")
+        base_paths = set(base.get("data_paths") or [])
+        cur_paths = list(cur.get("data_paths") or [])
+        removed = base_paths - set(cur_paths)
+        if removed:
+            raise NonAppendHistoryError(
+                f"history since snapshot {since_snapshot_id} rewrote "
+                f"{sorted(removed)}; incremental read undefined"
+            )
+        new = [p for p in cur_paths if p not in base_paths]
+        if not new:
+            return self.read(spark).filter(F.lit(False))
+        dfs = [
+            spark.read.parquet(os.path.join(self.data_dir, p)) for p in new
         ]
         out = dfs[0]
         for d in dfs[1:]:
