@@ -1921,3 +1921,40 @@ _register(
     FROM documents GROUP BY lang
     """,
 )
+
+# --------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning (operators/bloom.py): lineitem is
+# semi-joined to the top-price orders through an m=16384-bit Bloom
+# prefilter compiled into the probe scan as pure JVM expressions
+# (xxhash64/pmod/element_at/getbit). The oracle is the PLAIN semi-join
+# aggregate — the final exact left-semi join makes the output
+# independent of Bloom false positives by construction, which is
+# exactly the property the driver compare pins.
+
+
+def _q_bloom_semi_join(spark, sf_dir):
+    from .operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 490000.0)
+    kept = bloom_semi_join(li, "l_orderkey", big, "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+_register(
+    TEXT5,
+    "bloom_semi_join",
+    _q_bloom_semi_join,
+    """
+    SELECT l_returnflag, count(*) AS n_items,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 490000.0
+    )
+    GROUP BY l_returnflag
+    """,
+)

@@ -375,6 +375,17 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # runtime Bloom semi-join: the membership test must be a JVM
+    # expression under the join (xxhash64 visible in the plan), with
+    # no Python stage and no nested-loop fallback
+    audit(
+        "bloom_semi_join",
+        _TEXT5["bloom_semi_join"],
+        expect=("xxhash64", "LeftSemi"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # zone-map pruned read: after the manifest-level file skip, the
     # residual box predicate must STILL be pushed into the surviving
     # files' parquet scan (two pruning layers), all JVM-side
