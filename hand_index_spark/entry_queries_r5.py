@@ -1958,3 +1958,111 @@ _register(
     GROUP BY l_returnflag
     """,
 )
+
+# --------------------------------------------------------------------------
+# Exact substring-duplication spans (the character-gram pass of
+# "Deduplicating Training Data Makes Language Models Better", Lee et
+# al. 2022): a position p in doc d is DUPLICATED if the 16-char gram
+# text[p:p+16] occurs >= 2 times across the whole corpus. One explode
+# -> groupBy(gram) frequency -> hash-join back; no all-pairs anywhere.
+# At 100 TB the gram key would be xxhash64(gram) (8 bytes instead of
+# 16+ chars through the shuffle) with a second exact pass inside
+# colliding buckets; at oracle scale the raw gram IS the key so DuckDB
+# reproduces it verbatim.
+
+_GRAM_L = 16
+
+
+def _q_substring_dup_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        d.filter(F.length("text") >= _GRAM_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("text") - _GRAM_L),
+                    lambda p: F.substring(F.col("text"), p + 1, _GRAM_L),
+                )
+            ).alias("g"),
+        )
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("c") >= 2).cast("long")).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
+_register(
+    TEXT5,
+    "substring_dup_spans",
+    _q_substring_dup_spans,
+    f"""
+    WITH grams AS (
+      SELECT doc_id, substr(text, p + 1, {_GRAM_L}) AS g
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(length(text) - {_GRAM_L - 1}, 0))) AS p
+        FROM documents
+      )
+    ), freq AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS DOUBLE) / count(*), 6) AS dup_ratio
+    FROM grams JOIN freq USING (g)
+    GROUP BY doc_id
+    """,
+)
+
+# --------------------------------------------------------------------------
+# Snapshot changelog (Delta CDF / Iceberg changelog scan rebuilt):
+# documents v0 -> MERGE (bump n_chars for doc_id < 100) -> DELETE
+# (doc_id >= 450), then changes(v0, v2) emits the row-level diff with
+# _change_type; the MERGE's updates surface as delete+insert pairs.
+# The oracle reconstructs the same 250-row changelog from closed-form
+# arithmetic over documents.
+
+
+def _q_snapshot_changes(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("icelite_cdc_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = IceliteTable(root, "docs")
+    t.write(d)
+    v0 = t.current_snapshot()["snapshot_id"]
+    t.merge(
+        spark,
+        d.filter(F.col("doc_id") < 100).withColumn(
+            "n_chars", F.col("n_chars") + 1
+        ),
+        key="doc_id",
+    )
+    t.delete(spark, d.filter(F.col("doc_id") >= 450).select("doc_id"), key="doc_id")
+    v2 = t.current_snapshot()["snapshot_id"]
+    return t.changes(spark, v0, v2).select("_change_type", "doc_id", "n_chars")
+
+
+_register(
+    TEXT5,
+    "snapshot_changes",
+    _q_snapshot_changes,
+    """
+    SELECT 'insert' AS _change_type, doc_id, n_chars + 1 AS n_chars
+    FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT 'delete' AS _change_type, doc_id, n_chars
+    FROM documents WHERE doc_id < 100 OR doc_id >= 450
+    """,
+)

@@ -441,6 +441,25 @@ class IceliteTable:
             kept, stage=stage, fingerprint=fingerprint, lineage_key=key
         )
 
+    def changes(
+        self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int
+    ) -> DataFrame:
+        """Row-level changelog between two snapshots (Delta CDF /
+        Iceberg changelog scan): multiset diff of the two manifest
+        reads, tagged ``_change_type`` in {'insert','delete'} — an
+        UPDATE surfaces as its delete+insert pair, exactly like
+        copy-on-write CDC. Works for ANY history (merge, delete,
+        overwrite, compact): correctness never depends on the snapshot
+        chain being append-only, unlike :meth:`read_incremental` (which
+        is the cheap path when it IS). exceptAll is a keyed hash
+        aggregate over both reads — no driver collection, shuffles on
+        the full row like any set op."""
+        old = self.read_snapshot(spark, from_snapshot_id)
+        new = self.read_snapshot(spark, to_snapshot_id)
+        ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dels)
+
     # --------------------------------------------------------------- compact
 
     def compact(

@@ -127,3 +127,54 @@ def test_overwrite_resets_view_not_doubles(spark, tmp_path):
     s = mv.refresh(spark)
     assert s["mode"] == "full"
     assert _got(mv, spark) == _expect(_batch(spark, 200, 300))
+
+
+# ------------------------------------------------------------- changelog
+
+
+def test_changes_append_only_is_pure_inserts(spark, tmp_path):
+    t = IceliteTable(str(tmp_path), "src")
+    t.write(_batch(spark, 0, 100))
+    v0 = t.current_snapshot()["snapshot_id"]
+    t.write(_batch(spark, 100, 150), mode="append")
+    ch = t.changes(spark, v0, t.current_snapshot()["snapshot_id"])
+    rows = ch.collect()
+    assert len(rows) == 50
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert sorted(r["doc_id"] for r in rows) == list(range(100, 150))
+
+
+def test_changes_update_is_delete_insert_pair(spark, tmp_path):
+    t = IceliteTable(str(tmp_path), "src")
+    t.write(_batch(spark, 0, 100))
+    v0 = t.current_snapshot()["snapshot_id"]
+    upd = _batch(spark, 0, 1).withColumn("n_chars", F.lit(9999))
+    t.merge(spark, upd, key="doc_id")
+    ch = {
+        (r["_change_type"], r["n_chars"])
+        for r in t.changes(
+            spark, v0, t.current_snapshot()["snapshot_id"]
+        ).collect()
+    }
+    assert ch == {("insert", 9999), ("delete", 0)}
+
+
+def test_changes_compaction_is_empty(spark, tmp_path):
+    t = IceliteTable(str(tmp_path), "src")
+    t.write(_batch(spark, 0, 500))
+    t.write(_batch(spark, 500, 600), mode="append")
+    v = t.current_snapshot()["snapshot_id"]
+    t.compact(spark)
+    assert t.changes(spark, v, t.current_snapshot()["snapshot_id"]).count() == 0
+
+
+def test_changes_handles_duplicate_rows_multiset(spark, tmp_path):
+    # two identical rows -> removing ONE of them must emit exactly one
+    # delete (exceptAll is a multiset diff, not set diff)
+    t = IceliteTable(str(tmp_path), "src")
+    dup = _batch(spark, 0, 1)
+    t.write(dup.unionByName(dup))
+    v0 = t.current_snapshot()["snapshot_id"]
+    t.write(dup)  # overwrite with a single copy
+    rows = t.changes(spark, v0, t.current_snapshot()["snapshot_id"]).collect()
+    assert len(rows) == 1 and rows[0]["_change_type"] == "delete"
