@@ -2066,3 +2066,83 @@ _register(
     FROM documents WHERE doc_id < 100 OR doc_id >= 450
     """,
 )
+
+# --------------------------------------------------------------------------
+# Streaming ingest driving an INCREMENTALLY-maintained MV (the
+# production dashboard loop, end to end): events drain in three
+# micro-batches through the exactly-once foreachBatch icelite append
+# (batch-id fingerprint guard), and the per-event-type stats MV
+# refreshes after every batch — initial once, then strictly
+# incremental (each refresh reads only that batch's directory). The
+# oracle is the one-shot batch aggregate: three merges of algebraic
+# partials == the full recompute exactly. Money-style exactness per
+# the integer-cents rule (floor(value*100+0.5) per row, BIGINT sums).
+
+
+def _q_stream_matview(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .tables.icelite import IceliteTable
+    from .tables.matview import MaterializedAgg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "user_id",
+    )
+    src = _fresh_dir("stream_mv_src_")
+    for i in range(3):
+        ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    schema = spark.read.parquet(f"{src}/f0").schema
+    root = _fresh_dir("stream_mv_tbl_")
+    table = IceliteTable(root, "ev")
+    mv = MaterializedAgg(
+        root,
+        "ev_by_type",
+        table,
+        ["event_type"],
+        [("count", "*"), ("sum", "cents"), ("min", "cents"), ("max", "cents")],
+    )
+    modes: list[str] = []
+
+    def sink(batch_df, batch_id):
+        fp = f"batch-{batch_id}"
+        if not table.stage_done("stream-append", fp):
+            table.write(
+                batch_df, stage="stream-append", fingerprint=fp, mode="append"
+            )
+        modes.append(mv.refresh(spark)["mode"])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _fresh_dir("stream_mv_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert modes and modes[0] == "initial", modes
+    assert all(m == "incremental" for m in modes[1:]), modes
+    return mv.serve(spark).select(
+        "event_type", "n", "sum__cents", "min__cents", "max__cents"
+    )
+
+
+_register(
+    TEXT5,
+    "stream_matview",
+    _q_stream_matview,
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum__cents,
+           CAST(min(floor(value * 100 + 0.5)) AS BIGINT) AS min__cents,
+           CAST(max(floor(value * 100 + 0.5)) AS BIGINT) AS max__cents
+    FROM events GROUP BY event_type
+    """,
+)
