@@ -477,6 +477,9 @@ class IceliteTable:
             df,
             stage=stage,
             fingerprint=f"compact-of-{cur['snapshot_id'] if cur else 'empty'}",
+            # zone maps survive compaction: recompute per-file stats for
+            # the rewritten files (Iceberg rewrites data-file stats too)
+            stats_cols=(cur.get("stats_cols") or None) if cur else None,
         )
 
     def optimize_zorder(

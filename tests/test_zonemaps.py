@@ -162,3 +162,18 @@ def test_optimize_zorder_rewrites_in_place(spark, tmp_path):
         t.read_pruned_multi(spark, [("x", 0, 24), ("y", 0, 24)]).count()
         == 25 * 25
     )
+
+
+def test_compaction_preserves_zonemaps(spark, tmp_path):
+    t = _table(spark, tmp_path, n=10_000, files=8)
+    t.write(
+        spark.range(20_000, 21_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(2, "k"),
+        stats_cols=["k"],
+        mode="append",
+    )
+    t.compact(spark, target_files=4)
+    files, total = t.pruned_files(spark, "k", 20_000, 20_499)
+    assert total <= 4 and len(files) < total
+    assert t.read_pruned(spark, "k", 20_000, 20_499).count() == 500
