@@ -2146,3 +2146,65 @@ _register(
     FROM events GROUP BY event_type
     """,
 )
+
+# --------------------------------------------------------------------------
+# Vector -> raster burn (rasterize, the inverse of the raster-footprint
+# ingestion; gdal_rasterize center rule): 64 deterministic CCW octagons
+# (the simplify fixture's template, unsubdivided) burned onto a unit
+# grid. Exactness: integer vertices and half-integer cell centers make
+# every cross product exact in float64, and the oracle's 8 half-plane
+# inequalities are the same cross products divided by the positive
+# edge-length factor 2s — algebraically identical, boundary-inclusive
+# on both sides.
+
+
+def _q_rasterize_polys(spark, sf_dir):
+    from .operators.raster import rasterize
+
+    rows = []
+    for k in range(_SIMPLIFY_N):
+        s = 1 + k % 4
+        dx, dy = 11.0 * k, 7.0 * k
+        ring = [
+            float(v)
+            for x, y in (*_SIMPLIFY_TEMPLATE, _SIMPLIFY_TEMPLATE[0])
+            for v in (s * x + dx, s * y + dy)
+        ]
+        rows.append((k, ring))
+    polys = spark.createDataFrame(
+        rows, schema="poly_id long, coords_flat array<double>"
+    )
+    return rasterize(polys, cell=1.0, mode="convex")
+
+
+_register(
+    TEXT5,
+    "rasterize_polys",
+    _q_rasterize_polys,
+    f"""
+    WITH polys AS (
+      SELECT CAST(k AS BIGINT) AS poly_id,
+             CAST(1 + k % 4 AS DOUBLE) AS s,
+             CAST(11 * k AS DOUBLE) AS dx, CAST(7 * k AS DOUBLE) AS dy
+      FROM (SELECT unnest(range({_SIMPLIFY_N})) AS k)
+    ), c1 AS (
+      SELECT poly_id, s, dx, dy,
+             unnest(range(CAST(dx AS BIGINT) - 1,
+                          CAST(dx + 6 * s AS BIGINT) + 2)) AS col
+      FROM polys
+    ), c2 AS (
+      SELECT poly_id, s, dx, dy, col,
+             unnest(range(CAST(dy AS BIGINT) - 1,
+                          CAST(dy + 6 * s AS BIGINT) + 2)) AS row
+      FROM c1
+    )
+    SELECT poly_id, CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row
+    FROM (
+      SELECT poly_id, col, row,
+             (col + 0.5) - dx AS w, (row + 0.5) - dy AS z, s FROM c2
+    )
+    WHERE z >= 0 AND z <= 6 * s AND w >= 0 AND w <= 6 * s
+      AND w - z <= 4 * s AND z - w <= 4 * s
+      AND w + z >= 2 * s AND w + z <= 10 * s
+    """,
+)

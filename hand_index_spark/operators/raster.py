@@ -92,3 +92,49 @@ def tile_manifest(df: DataFrame, to_lonlat=None) -> DataFrame:
         )
         .agg(F.sort_array(F.collect_list("raster_path")).alias("paths"))
     )
+
+
+def rasterize(
+    polys: DataFrame,
+    cell: float = 1.0,
+    ox: float = 0.0,
+    oy: float = 0.0,
+    mode: str = "raycast",
+) -> DataFrame:
+    """Vector -> raster burn (gdal_rasterize's ALL_TOUCHED=FALSE rule,
+    the inverse of :func:`footprints`): for each polygon
+    (poly_id, coords_flat closed ring) emit every grid cell
+    (col, row) whose CENTER lies inside. Pure Catalyst: per-poly bbox
+    -> candidate col/row ranges (sequence x sequence explode, the
+    covering-cell idiom from operators/spatial_join.py) -> HOF
+    point-in-polygon on the cell center. No Python, no broadcast; at
+    scale the explode is bounded by polygon area / cell^2 and
+    AQE-splittable like any flatMap.
+
+    ``mode='convex'`` uses the boundary-inclusive half-plane test
+    (exact for CCW convex rings with dyadic coordinates);
+    ``'raycast'`` handles general simple polygons (even-odd)."""
+    from .spatial_join import _inside_convex, _inside_raycast
+
+    xs = F.filter(
+        F.col("coords_flat"), lambda v, i: i % F.lit(2) == F.lit(0)
+    )
+    ys = F.filter(
+        F.col("coords_flat"), lambda v, i: i % F.lit(2) == F.lit(1)
+    )
+    c_lo = (F.floor((F.array_min(xs) - F.lit(ox)) / F.lit(cell))).cast("long") - 1
+    c_hi = (F.floor((F.array_max(xs) - F.lit(ox)) / F.lit(cell))).cast("long") + 1
+    r_lo = (F.floor((F.array_min(ys) - F.lit(oy)) / F.lit(cell))).cast("long") - 1
+    r_hi = (F.floor((F.array_max(ys) - F.lit(oy)) / F.lit(cell))).cast("long") + 1
+    g = (
+        polys.withColumn("col", F.explode(F.sequence(c_lo, c_hi)))
+        .withColumn("row", F.explode(F.sequence(r_lo, r_hi)))
+    )
+    px = F.lit(ox) + (F.col("col").cast("double") + F.lit(0.5)) * F.lit(cell)
+    py = F.lit(oy) + (F.col("row").cast("double") + F.lit(0.5)) * F.lit(cell)
+    inside = (
+        _inside_convex(px, py, F.col("coords_flat"))
+        if mode == "convex"
+        else _inside_raycast(px, py, F.col("coords_flat"))
+    )
+    return g.filter(inside).select("poly_id", "col", "row")

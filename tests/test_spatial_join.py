@@ -164,3 +164,47 @@ def test_raycast_agrees_with_convex_on_random_convex_polys(spark):
     )
     assert a == b
     assert len(a) > 20  # non-degenerate
+
+
+def test_rasterize_cell_count_tracks_area(spark):
+    """Center-rule burn: |cells| is within half the perimeter of the
+    polygon area (standard digitization bound), and raycast agrees
+    with the convex half-plane mode on convex input."""
+    from hand_index_spark.operators.raster import rasterize
+
+    rows = []
+    tmpl = [(2, 0), (4, 0), (6, 2), (6, 4), (4, 6), (2, 6), (0, 4), (0, 2)]
+    for k in range(16):
+        s = 1 + k % 4
+        dx, dy = 20.0 * k, 13.0 * k
+        ring = [
+            float(v)
+            for x, y in (*tmpl, tmpl[0])
+            for v in (s * x + dx, s * y + dy)
+        ]
+        rows.append((k, ring, s))
+    polys = spark.createDataFrame(
+        [(k, r) for k, r, _ in rows],
+        schema="poly_id long, coords_flat array<double>",
+    )
+    counts = {
+        r["poly_id"]: r["n"]
+        for r in rasterize(polys, mode="convex")
+        .groupBy("poly_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    import math
+
+    for k, _, s in rows:
+        area = 28.0 * s * s
+        perim = (8 + 4 * math.sqrt(2)) * 2 * s / 2  # half-perimeter
+        assert abs(counts[k] - area) <= perim + 1, (k, counts[k], area)
+
+    ray = rasterize(polys, mode="raycast")
+    con = rasterize(polys, mode="convex")
+    # raycast excludes some boundary centers by even-odd parity, but on
+    # these octagons every center is strictly interior or exterior
+    # except bottom/left edge ties; assert set difference only on ties
+    assert ray.exceptAll(con).count() == 0  # raycast is a subset
