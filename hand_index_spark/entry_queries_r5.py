@@ -2208,3 +2208,31 @@ _register(
       AND w + z >= 2 * s AND w + z <= 10 * s
     """,
 )
+
+# --------------------------------------------------------------------------
+# Distributed BPE tokenizer training (operators/bpe.py): 6 corpus-level
+# merge rounds over documents, each round one pair-count shuffle + one
+# scalar winner pick + one map-side merge. The oracle replays all 6
+# rounds (pair-count argmax + replace per round, nested CTEs), so the
+# compare pins every intermediate corpus state through the per-doc
+# final token counts and first tokens.
+
+_BPE_ROUNDS = 6
+
+
+def _q_bpe_train(spark, sf_dir):
+    from .operators.bpe import token_stats, train_bpe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus, merges = train_bpe(d, "text", rounds=_BPE_ROUNDS)
+    assert len(merges) == _BPE_ROUNDS
+    return token_stats(corpus)
+
+
+def _bpe_train_sql() -> str:
+    from .operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql("documents", "text", _BPE_ROUNDS)
+
+
+_register(TEXT5, "bpe_train", _q_bpe_train, _bpe_train_sql())
