@@ -2236,3 +2236,116 @@ def _bpe_train_sql() -> str:
 
 
 _register(TEXT5, "bpe_train", _q_bpe_train, _bpe_train_sql())
+
+# --------------------------------------------------------------------------
+# Per-file Bloom point-lookup index (Parquet's column bloom filters
+# rebuilt at the table layer): documents keyed by sha256(text) — a
+# high-cardinality UNSORTED column where min/max zone maps cannot
+# prune — written with bloom_cols, then a point lookup scans only the
+# Bloom-surviving files. The oracle is the plain equality filter; fp
+# can only add scanned files, never rows (read_point re-filters).
+
+
+def _q_bloom_point_lookup(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("icelite_bloomidx_")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("key"), "n_chars"
+    )
+    t = IceliteTable(root, "docs")
+    t.write(d.repartition(8, "doc_id"), bloom_cols=["key"])
+    target = d.filter(F.col("doc_id") == 123).collect()[0]["key"]
+    files, total = t.lookup_files(spark, "key", target)
+    got = t.read_point(spark, "key", target)
+    return got.select("doc_id", "n_chars").withColumn(
+        "pruned", F.lit(len(files) < total)
+    )
+
+
+_register(
+    TEXT5,
+    "bloom_point_lookup",
+    _q_bloom_point_lookup,
+    """
+    SELECT doc_id, n_chars, TRUE AS pruned
+    FROM documents
+    WHERE sha256(text) = (SELECT sha256(text) FROM documents WHERE doc_id = 123)
+    """,
+)
+
+# --------------------------------------------------------------------------
+# Zonal statistics (the HAND-domain classic: per-catchment raster
+# aggregation — mean elevation per polygon): rasterize() burns each
+# octagon to its covered cells, a closed-form "elevation" value
+# v(col,row) = (7*col + 13*row) % 100 stands in for the DEM band, and
+# the aggregate is one groupBy over the burned cells. The oracle
+# regenerates grid + PIP + value rule in SQL, so cell coverage AND the
+# aggregation are pinned together. Integer values -> exact sums.
+
+
+def _q_zonal_stats(spark, sf_dir):
+    from .operators.raster import rasterize
+
+    rows = []
+    for k in range(_SIMPLIFY_N):
+        s = 1 + k % 4
+        dx, dy = 11.0 * k, 7.0 * k
+        ring = [
+            float(v)
+            for x, y in (*_SIMPLIFY_TEMPLATE, _SIMPLIFY_TEMPLATE[0])
+            for v in (s * x + dx, s * y + dy)
+        ]
+        rows.append((k, ring))
+    polys = spark.createDataFrame(
+        rows, schema="poly_id long, coords_flat array<double>"
+    )
+    cells = rasterize(polys, cell=1.0, mode="convex")
+    val = (F.col("col") * 7 + F.col("row") * 13) % 100
+    return cells.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(val).cast("long").alias("sum_val"),
+        F.min(val).cast("long").alias("min_val"),
+        F.max(val).cast("long").alias("max_val"),
+    )
+
+
+_register(
+    TEXT5,
+    "zonal_stats",
+    _q_zonal_stats,
+    f"""
+    WITH polys AS (
+      SELECT CAST(k AS BIGINT) AS poly_id,
+             CAST(1 + k % 4 AS DOUBLE) AS s,
+             CAST(11 * k AS DOUBLE) AS dx, CAST(7 * k AS DOUBLE) AS dy
+      FROM (SELECT unnest(range({_SIMPLIFY_N})) AS k)
+    ), c1 AS (
+      SELECT poly_id, s, dx, dy,
+             unnest(range(CAST(dx AS BIGINT) - 1,
+                          CAST(dx + 6 * s AS BIGINT) + 2)) AS col
+      FROM polys
+    ), c2 AS (
+      SELECT poly_id, s, dx, dy, col,
+             unnest(range(CAST(dy AS BIGINT) - 1,
+                          CAST(dy + 6 * s AS BIGINT) + 2)) AS row
+      FROM c1
+    ), burned AS (
+      SELECT poly_id, col, row,
+             (col * 7 + row * 13) % 100 AS v
+      FROM (
+        SELECT poly_id, col, row,
+               (col + 0.5) - dx AS w, (row + 0.5) - dy AS z, s FROM c2
+      )
+      WHERE z >= 0 AND z <= 6 * s AND w >= 0 AND w <= 6 * s
+        AND w - z <= 4 * s AND z - w <= 4 * s
+        AND w + z >= 2 * s AND w + z <= 10 * s
+    )
+    SELECT poly_id, count(*) AS n_cells,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val
+    FROM burned GROUP BY poly_id
+    """,
+)

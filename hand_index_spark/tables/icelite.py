@@ -62,6 +62,7 @@ class IceliteTable:
         self.meta_dir = os.path.join(self.base, "_meta")
         self.lineage_dir = os.path.join(self.meta_dir, "lineage")
         self.zonemap_dir = os.path.join(self.meta_dir, "zonemaps")
+        self.bloom_dir = os.path.join(self.meta_dir, "blooms")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.lineage_dir, exist_ok=True)
 
@@ -125,6 +126,9 @@ class IceliteTable:
         mode: str = "overwrite",
         lineage_key: str | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 4096,
+        bloom_k: int = 4,
     ) -> dict:
         """Write df into a fresh data subdirectory, record lineage from
         the **committed files** (never by re-running the upstream plan),
@@ -181,6 +185,49 @@ class IceliteTable:
                 .write.mode("append")
                 .parquet(self.zonemap_dir)
             )
+        # per-file Bloom indexes (Parquet's column bloom filters rebuilt
+        # at the table layer): equality lookups on high-cardinality
+        # unsorted columns, where min/max zone maps cannot prune. The
+        # distinct-positions frame is bounded by files * bloom_bits —
+        # manifest-scale — before the driver ever sees it.
+        if bloom_cols:
+            os.makedirs(self.bloom_dir, exist_ok=True)
+            for c in bloom_cols:
+                pos_rows = (
+                    committed.select(
+                        F.input_file_name().alias("file"),
+                        F.explode(
+                            F.array(
+                                *[
+                                    F.pmod(
+                                        F.xxhash64(F.col(c), F.lit(j)),
+                                        F.lit(bloom_bits),
+                                    )
+                                    for j in range(bloom_k)
+                                ]
+                            )
+                        ).alias("p"),
+                    )
+                    .distinct()
+                    .groupBy("file")
+                    .agg(F.collect_list("p").alias("ps"))
+                    .collect()
+                )
+                out = []
+                for r in pos_rows:
+                    words = [0] * (bloom_bits // 64)
+                    for p in r["ps"]:
+                        p = int(p)
+                        words[p // 64] |= 1 << (p % 64)
+                    words = [
+                        w - (1 << 64) if w >= (1 << 63) else w for w in words
+                    ]
+                    out.append((r["file"], c, words, rel))
+                spark.createDataFrame(
+                    out,
+                    schema="file string, col string, words array<long>, "
+                    "write_id string",
+                ).write.mode("append").parquet(self.bloom_dir)
         # snapshot summary from the tiny committed lineage table (one
         # aggregate row to the driver, independent of partition count)
         summ = (
@@ -222,6 +269,9 @@ class IceliteTable:
                 ),
                 "wall_ms": wall_ms,
                 "stats_cols": stats_cols or [],
+                "bloom_cols": bloom_cols or [],
+                "bloom_bits": bloom_bits,
+                "bloom_k": bloom_k,
             }
         )
         assert snap["snapshot_id"] == sid  # pointer swap is single-writer
@@ -345,10 +395,14 @@ class IceliteTable:
         residual = F.lit(True)
         for col, lo, hi in preds:
             residual = residual & F.col(col).between(F.lit(lo), F.lit(hi))
+        return self._read_files(spark, files, residual)
+
+    def _read_files(self, spark: SparkSession, files: list[str], residual):
+        """Scan only ``files`` (+ the residual filter). Leaf-file reads
+        lose hive partition columns unless basePath is pinned, so group
+        by owning write dir and union (dirs are few)."""
         if not files:
             return self.read(spark).filter(F.lit(False))
-        # leaf-file reads lose hive partition columns unless basePath is
-        # pinned; group by owning write dir and union (dirs are few)
         by_dir: dict[str, list[str]] = {}
         for f in files:
             p = f[len("file:"):] if f.startswith("file:") else f
@@ -363,6 +417,60 @@ class IceliteTable:
         for d in parts[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out.filter(residual)
+
+    # --------------------------------------------------------- bloom index
+
+    def lookup_files(
+        self, spark: SparkSession, col: str, value
+    ) -> tuple[list[str], int]:
+        """(files that might contain ``col == value``, total files)
+        against the per-file Bloom index — the point-lookup planner for
+        high-cardinality UNSORTED columns, where zone maps cannot
+        prune. False negatives impossible (same xxhash64 family on
+        build and probe); false positives only cost extra file scans,
+        never correctness (read_point re-filters exactly)."""
+        cur = self.current_snapshot()
+        if not cur or not cur.get("data_paths"):
+            raise ValueError("no snapshot / manifest to look up against")
+        if col not in (cur.get("bloom_cols") or []):
+            raise ValueError(
+                f"no bloom index for column {col!r}; "
+                f"write(bloom_cols=[{col!r}]) first"
+            )
+        m, k = cur["bloom_bits"], cur["bloom_k"]
+        pos_row = (
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(F.lit(value), F.lit(j)), F.lit(m)).alias(
+                        f"p{j}"
+                    )
+                    for j in range(k)
+                ]
+            )
+            .collect()[0]
+        )
+        positions = [int(pos_row[f"p{j}"]) for j in range(k)]
+        rows = (
+            spark.read.parquet(self.bloom_dir)
+            .filter(
+                (F.col("col") == col)
+                & F.col("write_id").isin(list(cur["data_paths"]))
+            )
+            .collect()
+        )
+        surviving = []
+        for r in rows:
+            words = [w + (1 << 64) if w < 0 else w for w in r["words"]]
+            if all((words[p // 64] >> (p % 64)) & 1 for p in positions):
+                surviving.append(r["file"])
+        return surviving, len(rows)
+
+    def read_point(self, spark: SparkSession, col: str, value) -> DataFrame:
+        """Point lookup ``col == value`` scanning only Bloom-surviving
+        files; equals a full scan + filter exactly."""
+        files, _ = self.lookup_files(spark, col, value)
+        return self._read_files(spark, files, F.col(col) == F.lit(value))
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Time travel: read the table exactly as of ``snapshot_id``

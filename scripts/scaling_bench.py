@@ -35,7 +35,7 @@ def cpu_probe_mops() -> float:
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 8_000_000))
+ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 8_000_000))  # callers pass 32M for the gate
 # N and 4N parallelism levels. Default 2->8: this sandbox's host cannot
 # sustain 32 busy processes at full speed (even pure-NumPy
 # multiprocessing shows negative scaling there — see BENCH/BASELINE.md
@@ -108,7 +108,7 @@ def main() -> None:
     # pair measured seconds apart shares its weather, and the best pair
     # is the one least distorted by host reclaim. The harness asserts
     # the >= 0.8 criterion (exit 1 otherwise).
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 3))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 4))
     target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
     n, n4 = LEVELS
     pairs: list[tuple[float, float, float]] = []  # (efficiency, t_n, t_4n)
