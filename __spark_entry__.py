@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (137 queries as of round 5) and EVERY one carries a DuckDB
+SURVEY.md §2 (142 queries as of round 5) and EVERY one carries a DuckDB
 oracle — including the geo assignment (the tile grid is closed-form
 arithmetic, tables/tilegrid.py), the trig-bearing transforms (via
 discretization-safe comparisons), iterative graph clustering (via a
@@ -10,7 +10,7 @@ recursive-CTE closure), stateful streaming (via batch parity), the
 no-broadcast join paths, temporal joins, sketches, and the icelite
 maintenance surface. Registry batches: entry_queries.py,
 entry_queries_ext.py, entry_queries_r2.py, entry_queries_r4.py,
-entry_queries_r5.py; see
+entry_queries_r5.py, entry_queries_r5b.py; see
 COVERAGE.md for the operator -> query map.
 
 Session requirements: NONE. Every query runs green under a bare
@@ -72,9 +72,11 @@ DRIVER_SAMPLE_ORDER = [
     # embeddings / ANN
     "embedding_topk", "ann_ivf_indexed", "ann_lsh_topk",
     # text analysis
-    "langid", "lm_score", "bm25_search", "html_extract_text",
+    "langid", "lm_score", "html_extract_text",
+    # distance-band + segment-overlay spatial joins (round-5b families)
+    "distance_band_join", "segment_intersect_join",
     # multimodal / codecs
-    "multimodal_decode", "jpeg_decode_stats", "dem_slope_stats",
+    "multimodal_decode", "jpeg_decode_stats",
     # sources (WARC archive cycle), graph, sketches
     "warc_roundtrip", "pagerank_links", "cms_heavy_hitters",
     # sessionization, sketches, datetime surface

@@ -704,3 +704,11 @@ from .entry_queries_r5 import GEO5, ORACLES5, TEXT5  # noqa: E402
 GEO_QUERIES.update(GEO5)
 TEXTOPS.update(TEXT5)
 ORACLES.update(ORACLES5)
+
+# batch 5b (round 5): distance-band join, segment overlay, convex hull,
+# BPE encode, time-series gap fill
+from .entry_queries_r5b import GEO5B, ORACLES5B, TEXT5B  # noqa: E402
+
+GEO_QUERIES.update(GEO5B)
+TEXTOPS.update(TEXT5B)
+ORACLES.update(ORACLES5B)

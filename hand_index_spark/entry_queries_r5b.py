@@ -1,0 +1,331 @@
+"""Round-5b registry batch: distance-band join, segment overlay,
+convex hull, fixed-vocab BPE encode, time-series gap fill.
+
+Same contract as every other batch: each query is (a) an idiomatic
+Spark program over the driver's parquet tables and (b) a DuckDB oracle
+with identical column names and arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+GEO5B: dict = {}
+TEXT5B: dict = {}
+ORACLES5B: dict[str, str] = {}
+
+
+def _register(reg: dict, name: str, fn, oracle: str | None) -> None:
+    reg[name] = fn
+    if oracle is not None:
+        ORACLES5B[name] = oracle
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Fixed-radius distance-band self-join (operators/distance_join.py):
+# every pair of page geotags within R. Points derive from doc_id with
+# pure integer arithmetic (exact on both engines); the Spark side runs
+# the 3x3-cell grid join, the oracle the O(n^2) definition.
+
+_DB_RADIUS = 60
+_DB_SPAN = 2000
+
+
+def _q_distance_band(spark, sf_dir):
+    from .operators.distance_join import distance_band_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") % 100003) * 7919 % _DB_SPAN).alias("px"),
+        ((F.col("doc_id") % 99991) * 104729 % _DB_SPAN).alias("py"),
+    )
+    return distance_band_pairs(pts, "id", "px", "py", _DB_RADIUS)
+
+
+_DISTANCE_BAND_SQL = f"""
+    WITH pts AS (
+      SELECT doc_id AS id,
+             ((doc_id % 100003) * 7919) % {_DB_SPAN} AS px,
+             ((doc_id % 99991) * 104729) % {_DB_SPAN} AS py
+      FROM documents
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST((a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.px - b.px) * (a.px - b.px)
+        + (a.py - b.py) * (a.py - b.py) <= {_DB_RADIUS * _DB_RADIUS}
+    """
+
+_register(GEO5B, "distance_band_join", _q_distance_band, _DISTANCE_BAND_SQL)
+
+
+# --------------------------------------------------------------------------
+# Segment-segment intersection join (operators/segments.py): two
+# derived line sets, covering-cell candidates + exact integer
+# orientation refine. Oracle is the O(n*m) definition with the same
+# BIGINT cross products.
+
+_SEG_SPAN = 400
+_SEG_CELL = 32
+
+
+def _seg_set(d, pfx: str, mx1: int, my1: int, mdx: int, mdy: int):
+    i = F.col("doc_id")
+    x1 = (i * mx1 % _SEG_SPAN + 16).alias(f"{pfx}x1")
+    y1 = (i * my1 % _SEG_SPAN + 16).alias(f"{pfx}y1")
+    x2 = (i * mx1 % _SEG_SPAN + 16 + (i * mdx % 21) - 10).alias(f"{pfx}x2")
+    y2 = (i * my1 % _SEG_SPAN + 16 + (i * mdy % 21) - 10).alias(f"{pfx}y2")
+    return d.select(i.alias(f"{pfx}_id"), x1, y1, x2, y2)
+
+
+def _q_segment_intersect(spark, sf_dir):
+    from .operators.segments import segment_intersect_join
+
+    d = _t(spark, sf_dir, "documents")
+    a = _seg_set(d, "a", 37, 59, 17, 29)
+    b = _seg_set(d, "b", 41, 53, 19, 23)
+    return segment_intersect_join(a, b, _SEG_CELL)
+
+
+def _seg_sql_set(pfx: str, mx1: int, my1: int, mdx: int, mdy: int) -> str:
+    return (
+        f"SELECT doc_id AS {pfx}_id,"
+        f" (doc_id * {mx1}) % {_SEG_SPAN} + 16 AS {pfx}x1,"
+        f" (doc_id * {my1}) % {_SEG_SPAN} + 16 AS {pfx}y1,"
+        f" (doc_id * {mx1}) % {_SEG_SPAN} + 16 + (doc_id * {mdx}) % 21 - 10 AS {pfx}x2,"
+        f" (doc_id * {my1}) % {_SEG_SPAN} + 16 + (doc_id * {mdy}) % 21 - 10 AS {pfx}y2"
+        f" FROM documents"
+    )
+
+
+_SEGMENT_SQL = f"""
+    WITH a AS ({_seg_sql_set("a", 37, 59, 17, 29)}),
+    b AS ({_seg_sql_set("b", 41, 53, 19, 23)}),
+    d AS (
+      SELECT a_id, b_id,
+        (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS d1,
+        (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS d2,
+        (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS d3,
+        (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS d4,
+        ax1, ay1, ax2, ay2, bx1, by1, bx2, by2
+      FROM a, b
+    )
+    SELECT a_id, b_id FROM d
+    WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+           AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+       OR (d1 = 0 AND ax1 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+                  AND ay1 BETWEEN least(by1, by2) AND greatest(by1, by2))
+       OR (d2 = 0 AND ax2 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+                  AND ay2 BETWEEN least(by1, by2) AND greatest(by1, by2))
+       OR (d3 = 0 AND bx1 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+                  AND by1 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+       OR (d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+                  AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+    """
+
+_register(GEO5B, "segment_intersect_join", _q_segment_intersect, _SEGMENT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Per-group convex hull (operators/hull.py). Fixture: 16 groups, ring
+# points on the strictly convex parabola y = x^2 (no 3 ever collinear,
+# all on the hull) plus half-integer interior points strictly inside,
+# so the hull vertex set is closed-form: exactly the parabola points.
+# The oracle regenerates those points and shoelaces them in x order
+# (the CCW boundary order) — every quantity is an exact small
+# integer/quarter-integer in float64.
+
+_HULL_GROUPS = 16
+
+
+def _hull_fixture_rows():
+    rows = []
+    for g in range(_HULL_GROUPS):
+        m = 4 + g % 4
+        for x in range(-m, m + 1):  # ring: on the hull
+            rows.append((g, float(x + m), float(x * x)))
+        for x in range(-(m - 2), m - 2):  # strictly interior
+            rows.append((g, x + m + 0.5, x * x + x + 0.75))
+    return rows
+
+
+def _q_convex_hull(spark, sf_dir):
+    from .operators.hull import hull_stats
+
+    pts = spark.createDataFrame(
+        _hull_fixture_rows(), schema="group_id long, px double, py double"
+    )
+    return hull_stats(pts, "group_id", "px", "py")
+
+
+_CONVEX_HULL_SQL = f"""
+    WITH g AS (SELECT unnest(range({_HULL_GROUPS})) AS gid),
+    ring AS (
+      SELECT gid, 4 + gid % 4 AS m,
+             unnest(range(-(4 + gid % 4), 4 + gid % 4 + 1)) AS x
+      FROM g
+    ), pts AS (
+      SELECT gid, x, CAST(x + m AS DOUBLE) AS hx, CAST(x * x AS DOUBLE) AS hy
+      FROM ring
+    ), ordered AS (
+      SELECT gid, hx, hy,
+        coalesce(lead(hx) OVER w, first_value(hx) OVER w) AS nx,
+        coalesce(lead(hy) OVER w, first_value(hy) OVER w) AS ny
+      FROM pts
+      WINDOW w AS (PARTITION BY gid ORDER BY x)
+    )
+    SELECT gid AS group_id, CAST(count(*) AS BIGINT) AS hull_n,
+           sum(hx * ny - nx * hy) AS hull_area2,
+           sum(hx) AS sum_hx, sum(hy) AS sum_hy
+    FROM ordered GROUP BY gid
+    """
+
+_register(GEO5B, "convex_hull", _q_convex_hull, _CONVEX_HULL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Fixed-vocab BPE encode (the inference half of operators/bpe.py's
+# trainer): the vocabulary is a CONSTANT artifact trained once — here
+# by a 30-line pure-Python reference trainer on a hardcoded sample with
+# the exact tie-break the distributed trainer uses — and applied to the
+# whole corpus as a chain of literal replaces on the wrapped-token
+# string. That is the realistic 100-TB shape: train on a sample,
+# encode everywhere; encoding is embarrassingly parallel map work.
+
+_BPE_SAMPLE = (
+    "the web pages the crawler crawls link the web sites and the sites "
+    "link pages to the web the pages rank when sites link them"
+)
+_BPE_ENC_ROUNDS = 12
+
+
+def _train_merges_py(text: str, rounds: int) -> list[tuple[str, str]]:
+    from .operators.bpe import CLOSE, OPEN
+
+    toks = list(text)
+    merges: list[tuple[str, str]] = []
+    for _ in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for a, b in zip(toks, toks[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        best = min(
+            counts.items(),
+            key=lambda kv: (
+                -kv[1],
+                OPEN + kv[0][0] + CLOSE + OPEN + kv[0][1] + CLOSE,
+            ),
+        )[0]
+        merges.append(best)
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(toks):  # left-to-right, non-overlapping == replace()
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return merges
+
+
+_BPE_MERGES = _train_merges_py(_BPE_SAMPLE, _BPE_ENC_ROUNDS)
+assert all("'" not in a + b for a, b in _BPE_MERGES)  # SQL-literal safe
+
+
+def _q_bpe_encode(spark, sf_dir):
+    from .operators.bpe import CLOSE, OPEN, tokens_expr, wrap_chars
+
+    d = _t(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    s = wrap_chars(F.col("text"))
+    for a, b in _BPE_MERGES:
+        s = F.replace(
+            s,
+            F.lit(OPEN + a + CLOSE + OPEN + b + CLOSE),
+            F.lit(OPEN + a + b + CLOSE),
+        )
+    enc = d.select("doc_id", s.alias("s"))
+    t = tokens_expr()
+    return enc.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.element_at(t, 1).alias("first_token"),
+        F.element_at(t, F.size(t)).alias("last_token"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    expr = "regexp_replace(text, '([\\s\\S])', chr(30)||'\\1'||chr(31), 'g')"
+    for a, b in _BPE_MERGES:
+        pat = f"chr(30)||'{a}'||chr(31)||chr(30)||'{b}'||chr(31)"
+        rep = f"chr(30)||'{a}{b}'||chr(31)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    toks = "str_split(substr(s, 2, length(s) - 2), chr(31)||chr(30))"
+    return f"""
+    WITH enc AS (
+      SELECT doc_id, {expr} AS s FROM documents WHERE length(text) >= 1
+    )
+    SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens,
+           {toks}[1] AS first_token,
+           {toks}[len({toks})] AS last_token
+    FROM enc
+    """
+
+
+_register(TEXT5B, "bpe_encode", _q_bpe_encode, _bpe_encode_sql())
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + linear interpolation
+# (operators/timeseries.py). Observations derive from events with an
+# injective (key, t) mapping and a pseudo-random thinning filter so
+# every key has real gaps; the oracle replays the identical lead +
+# generate_series + one-division interpolation, bit-for-bit.
+
+
+def _q_gapfill(spark, sf_dir):
+    from .operators.timeseries import gapfill_linear
+
+    e = _t(spark, sf_dir, "events")
+    obs = e.where(F.col("event_id") % 11 < 3).select(
+        (F.col("event_id") % 13).alias("key"),
+        F.expr("event_id div 13").alias("t"),
+        F.col("event_id").cast("double").alias("v"),
+    )
+    return gapfill_linear(obs, "key", "t", "v")
+
+
+_GAPFILL_SQL = """
+    WITH obs AS (
+      SELECT event_id % 13 AS key, event_id // 13 AS t,
+             CAST(event_id AS DOUBLE) AS v
+      FROM events WHERE event_id % 11 < 3
+    ), br AS (
+      SELECT key, t AS t0, v AS v0,
+             lead(t) OVER (PARTITION BY key ORDER BY t) AS t1,
+             lead(v) OVER (PARTITION BY key ORDER BY t) AS v1
+      FROM obs
+    ), grid AS (
+      SELECT key, t0, v0, t1, v1,
+             unnest(range(t0, coalesce(t1, t0 + 1))) AS t
+      FROM br
+    )
+    SELECT key, t,
+           CASE WHEN t = t0 THEN v0
+                ELSE v0 + (v1 - v0) * (CAST(t - t0 AS DOUBLE)
+                                       / CAST(t1 - t0 AS DOUBLE))
+           END AS value,
+           t <> t0 AS filled
+    FROM grid
+    """
+
+_register(TEXT5B, "gapfill_interpolate", _q_gapfill, _GAPFILL_SQL)

@@ -397,6 +397,51 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5b import (  # noqa: E402
+        GEO5B as _GEO5B,
+        TEXT5B as _TEXT5B,
+    )
+
+    # distance-band join: ONE cell-key equi-join, exact integer refine —
+    # no cross product, no broadcast-nested-loop, no Python stage
+    audit(
+        "distance_band_join",
+        _GEO5B["distance_band_join"],
+        expect=("Join",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # segment overlay: covering-cell candidates + orientation refine —
+    # the whole predicate stays JVM-side (hash join; AQE broadcasts the
+    # tiny sf0.01 side, at scale both sides shuffle on the cell key)
+    audit(
+        "segment_intersect_join",
+        _GEO5B["segment_intersect_join"],
+        expect=("Join",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # gap fill: join-FREE — one keyed window + explode; any join node
+    # in this plan means the bracket pairing regressed to a self-join
+    audit(
+        "gapfill_interpolate",
+        _TEXT5B["gapfill_interpolate"],
+        expect=("Window", "Generate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
+    # fixed-vocab BPE encode: pure map work (replace chain), zero
+    # shuffle apart from the scan — no exchange at all in this plan
+    audit(
+        "bpe_encode",
+        _TEXT5B["bpe_encode"],
+        expect=("[codegen id :",),
+        forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

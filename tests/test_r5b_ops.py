@@ -1,0 +1,178 @@
+"""Round-5b operators: distance-band join, segment overlay, convex
+hull, fixed-vocab BPE encode, time-series gap fill — kernel unit tests
+plus full oracle parity for each registered query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.compare_util import assert_match, duck_con
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF)
+    yield c
+    c.close()
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def test_hull_indices_square_with_interior():
+    from hand_index_spark.operators.hull import _hull_indices
+
+    xs = np.array([0.0, 4.0, 4.0, 0.0, 2.0, 1.0, 3.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0, 2.0, 1.0, 3.0])
+    idx = _hull_indices(xs, ys)
+    assert sorted(idx.tolist()) == [0, 1, 2, 3]
+    # CCW shoelace positive
+    hx, hy = xs[idx], ys[idx]
+    area2 = float(np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy))
+    assert area2 == 32.0  # 2 * 16
+
+
+def test_hull_indices_drops_collinear():
+    from hand_index_spark.operators.hull import _hull_indices
+
+    # collinear midpoints on every edge of a triangle must not be vertices
+    xs = np.array([0.0, 4.0, 0.0, 2.0, 2.0, 0.0])
+    ys = np.array([0.0, 0.0, 4.0, 0.0, 2.0, 2.0])
+    idx = _hull_indices(xs, ys)
+    assert sorted(idx.tolist()) == [0, 1, 2]
+
+
+def test_distance_band_matches_bruteforce(spark):
+    from hand_index_spark.operators.distance_join import distance_band_pairs
+
+    rng = np.random.default_rng(7)
+    pts = [(int(i), int(x), int(y)) for i, (x, y) in enumerate(
+        rng.integers(0, 300, size=(400, 2))
+    )]
+    df = spark.createDataFrame(pts, schema="id long, x long, y long")
+    got = {
+        (r.a_id, r.b_id, r.dist2)
+        for r in distance_band_pairs(df, "id", "x", "y", 25).collect()
+    }
+    want = set()
+    for i, xi, yi in pts:
+        for j, xj, yj in pts:
+            d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+            if i < j and d2 <= 625:
+                want.add((i, j, d2))
+    assert got == want
+
+
+def test_segment_join_matches_bruteforce(spark):
+    from hand_index_spark.operators.segments import segment_intersect_join
+
+    rng = np.random.default_rng(11)
+
+    def mk(n):
+        xy = rng.integers(16, 200, size=(n, 2))
+        d = rng.integers(0, 17, size=(n, 2))
+        return [
+            (i, int(x), int(y), int(x + dx - 8), int(y + dy - 8))
+            for i, ((x, y), (dx, dy)) in enumerate(zip(xy, d))
+        ]
+
+    A, B = mk(120), mk(120)
+    a = spark.createDataFrame(A, schema="a_id long, ax1 long, ay1 long, ax2 long, ay2 long")
+    b = spark.createDataFrame(B, schema="b_id long, bx1 long, by1 long, bx2 long, by2 long")
+    got = {(r.a_id, r.b_id) for r in segment_intersect_join(a, b, 24).collect()}
+
+    def cross(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    def on_bbox(px, py, qx, qy, rx, ry):
+        return min(px, qx) <= rx <= max(px, qx) and min(py, qy) <= ry <= max(py, qy)
+
+    def hit(s, t):
+        _, ax1, ay1, ax2, ay2 = s
+        _, bx1, by1, bx2, by2 = t
+        d1 = cross(bx1, by1, bx2, by2, ax1, ay1)
+        d2 = cross(bx1, by1, bx2, by2, ax2, ay2)
+        d3 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+        d4 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+        if ((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0 and \
+           ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0:
+            return True
+        if d1 == 0 and on_bbox(bx1, by1, bx2, by2, ax1, ay1):
+            return True
+        if d2 == 0 and on_bbox(bx1, by1, bx2, by2, ax2, ay2):
+            return True
+        if d3 == 0 and on_bbox(ax1, ay1, ax2, ay2, bx1, by1):
+            return True
+        if d4 == 0 and on_bbox(ax1, ay1, ax2, ay2, bx2, by2):
+            return True
+        return False
+
+    want = {(s[0], t[0]) for s in A for t in B if hit(s, t)}
+    assert got == want
+    assert len(want) > 0  # fixture actually exercises the predicate
+
+
+def test_gapfill_basic(spark):
+    from hand_index_spark.operators.timeseries import gapfill_linear
+
+    obs = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 4, 18.0), (1, 5, 20.0), (2, 7, 1.0)],
+        schema="key long, t long, v double",
+    )
+    rows = {(r.key, r.t): (r.value, r.filled)
+            for r in gapfill_linear(obs, "key", "t", "v").collect()}
+    assert rows[(1, 0)] == (10.0, False)
+    assert rows[(1, 1)] == (12.0, True)
+    assert rows[(1, 2)] == (14.0, True)
+    assert rows[(1, 3)] == (16.0, True)
+    assert rows[(1, 4)] == (18.0, False)
+    assert rows[(1, 5)] == (20.0, False)
+    assert rows[(2, 7)] == (1.0, False)
+    assert len(rows) == 7
+
+
+def test_bpe_encode_merges_are_deterministic():
+    from hand_index_spark.entry_queries_r5b import _BPE_MERGES, _train_merges_py, _BPE_SAMPLE
+
+    assert _BPE_MERGES == _train_merges_py(_BPE_SAMPLE, 12)
+    assert len(_BPE_MERGES) == 12
+    # the sample is dominated by 'the ' / ' the' patterns — the first
+    # merge must be a space-adjacent pair from it
+    assert all(len(a) >= 1 and len(b) >= 1 for a, b in _BPE_MERGES)
+
+
+# ---------------------------------------------------------------- oracles
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "distance_band_join",
+        "segment_intersect_join",
+        "convex_hull",
+        "bpe_encode",
+        "gapfill_interpolate",
+    ],
+)
+def test_oracle_parity(spark, con, key):
+    from hand_index_spark.entry_queries_r5b import GEO5B, ORACLES5B, TEXT5B
+
+    fn = GEO5B.get(key) or TEXT5B[key]
+    assert_match(fn(spark, SF), ORACLES5B[key], con, key)
+
+
+def test_convex_hull_closed_form(spark):
+    """Independent check against the analytic formulas (not just the
+    SQL twin): hull_n = 2m+1, sum_hx = (2m+1)m, sum_hy = m(m+1)(2m+1)/3."""
+    from hand_index_spark.entry_queries_r5b import _q_convex_hull
+
+    for r in _q_convex_hull(spark, SF).collect():
+        m = 4 + r.group_id % 4
+        assert r.hull_n == 2 * m + 1
+        assert r.sum_hx == (2 * m + 1) * m
+        assert r.sum_hy == m * (m + 1) * (2 * m + 1) / 3
+        assert r.hull_area2 > 0

@@ -33,6 +33,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 KEYS = [
     "spatial_join_generic",
     "simplify_ring",
+    "convex_hull",
     "wkb_roundtrip",
     "tile_assign",
     "asof_join_latest_order",
