@@ -329,3 +329,223 @@ _GAPFILL_SQL = """
     """
 
 _register(TEXT5B, "gapfill_interpolate", _q_gapfill, _GAPFILL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Multi-resolution cell pyramid: page counts per h3lite cell at every
+# res 5..9 via the CASCADING rollup — aggregate once at the finest res,
+# then each coarser level re-aggregates the PREVIOUS level through
+# parent_col (hierarchy invariant, `cell_parent`). One full-data
+# shuffle total; levels 8..5 shuffle only already-aggregated cell
+# counts (at 100 TB: ~5x cheaper than GROUPING SETS' row expansion,
+# which replicates every input row per level). The res-9 aggregate is
+# localCheckpoint'ed because all five union branches consume it.
+
+
+def _q_cell_pyramid(spark, sf_dir):
+    from .geo import cells as h3lite
+    from .operators import encode as E
+    from .pipelines.assign_tiles import web_pages_from_documents
+
+    pts = E.with_geotag(web_pages_from_documents(spark, sf_dir))
+    base = (
+        pts.select(h3lite.encode_col(F.col("lat"), F.col("lon"), 9).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [base.withColumn("res", F.lit(9).cast("long"))]
+    cur = base
+    for r in (8, 7, 6, 5):
+        cur = (
+            cur.groupBy(
+                h3lite.parent_col(F.col("cell"), r, r + 1).alias("cell")
+            )
+            .agg(F.sum("n_pages").alias("n_pages"))
+        )
+        levels.append(cur.withColumn("res", F.lit(r).cast("long")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.select("res", "cell", "n_pages")
+
+
+def _cell_pyramid_sql() -> str:
+    from .geo import cells as h3lite
+    from .oracles import pts_cte
+
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS res,
+               {h3lite.encode_sql("lat", "lon", r)} AS cell,
+               CAST(count(*) AS BIGINT) AS n_pages
+        FROM pts GROUP BY cell"""
+        for r in (9, 8, 7, 6, 5)
+    ]
+    u = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH pts AS ({pts_cte()})
+    {u}
+    """
+
+
+_register(GEO5B, "cell_pyramid", _q_cell_pyramid, _cell_pyramid_sql())
+
+
+# --------------------------------------------------------------------------
+# kNN join within a radius (operators/distance_join.knn_join_radius):
+# k nearest event sites for every document point, both sides derived
+# arithmetically so the O(n*m) oracle replays it exactly. Deterministic
+# total order via (dist2, s_id) tie-break.
+
+_KNN_K = 3
+
+
+def _q_knn_radius(spark, sf_dir):
+    from .operators.distance_join import knn_join_radius
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "events")
+    q = d.select(
+        F.col("doc_id").alias("qid"),
+        ((F.col("doc_id") % 100003) * 7919 % _DB_SPAN).alias("x"),
+        ((F.col("doc_id") % 99991) * 104729 % _DB_SPAN).alias("y"),
+    )
+    s = e.select(
+        F.col("event_id").alias("sid"),
+        ((F.col("event_id") % 100003) * 4409 % _DB_SPAN).alias("x"),
+        ((F.col("event_id") % 99991) * 9749 % _DB_SPAN).alias("y"),
+    )
+    return knn_join_radius(q, "qid", s, "sid", "x", "y", _KNN_K, _DB_RADIUS)
+
+
+_KNN_RADIUS_SQL = f"""
+    WITH q AS (
+      SELECT doc_id AS q_id,
+             ((doc_id % 100003) * 7919) % {_DB_SPAN} AS x,
+             ((doc_id % 99991) * 104729) % {_DB_SPAN} AS y
+      FROM documents
+    ), s AS (
+      SELECT event_id AS s_id,
+             ((event_id % 100003) * 4409) % {_DB_SPAN} AS x,
+             ((event_id % 99991) * 9749) % {_DB_SPAN} AS y
+      FROM events
+    ), cand AS (
+      SELECT q.q_id, s.s_id,
+             CAST((q.x - s.x) * (q.x - s.x)
+                + (q.y - s.y) * (q.y - s.y) AS BIGINT) AS dist2
+      FROM q JOIN s
+        ON (q.x - s.x) * (q.x - s.x) + (q.y - s.y) * (q.y - s.y)
+           <= {_DB_RADIUS * _DB_RADIUS}
+    ), ranked AS (
+      SELECT q_id, s_id, dist2,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dist2, s_id) AS BIGINT) AS rnk
+      FROM cand
+    )
+    SELECT q_id, s_id, dist2, rnk FROM ranked WHERE rnk <= {_KNN_K}
+    """
+
+_register(GEO5B, "knn_radius_join", _q_knn_radius, _KNN_RADIUS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Bounded-depth BFS from a seed set (operators/graph.py) over the same
+# deterministic link graph as `pagerank_links`. Oracle unrolls the
+# frontier rounds as CTEs (one per hop, anti-join via NOT IN).
+
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 37
+
+
+def _q_bfs_hops(spark, sf_dir):
+    from .operators.graph import bfs_levels
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"),
+        )
+        .withColumn(
+            "dst", (F.col("src") * F.lit(31) + F.col("j") * F.lit(17)) % F.lit(n)
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = d.where(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_levels(edges, seeds, _BFS_HOPS).select("node", "hop")
+
+
+def _bfs_sql() -> str:
+    head = f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src,
+                   (doc_id * 31 + j * 17) % (SELECT n FROM nn) AS dst
+            FROM documents, unnest([1, 2, 3]) AS u(j)
+        ) WHERE dst <> src
+    ),
+    h0 AS (
+        SELECT doc_id AS node, CAST(0 AS BIGINT) AS hop
+        FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0
+    )"""
+    parts = [head]
+    for k in range(1, _BFS_HOPS + 1):
+        parts.append(f""",
+    f{k} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN h{k - 1} p ON p.node = e.src
+        WHERE e.dst NOT IN (SELECT node FROM h{k - 1})
+    ),
+    h{k} AS (
+        SELECT node, hop FROM h{k - 1}
+        UNION ALL
+        SELECT node, CAST({k} AS BIGINT) AS hop FROM f{k}
+    )""")
+    parts.append(f"\n    SELECT node, hop FROM h{_BFS_HOPS}\n    ")
+    return "".join(parts)
+
+
+_register(TEXT5B, "bfs_hops", _q_bfs_hops, _bfs_sql())
+
+
+# --------------------------------------------------------------------------
+# Geohash encode (geo/geohash.py): the 30-bit interleaved value and the
+# 6-char base32 string per geotagged page, all whole-stage codegen.
+
+
+def _q_geohash_encode(spark, sf_dir):
+    from .geo import geohash
+    from .operators import encode as E
+    from .pipelines.assign_tiles import web_pages_from_documents
+
+    pts = E.with_geotag(web_pages_from_documents(spark, sf_dir))
+    gh = geohash.encode_int_col(F.col("lat"), F.col("lon"))
+    return pts.select(
+        "url",
+        gh.alias("gh_int"),
+        geohash.encode_str_col(gh).alias("geohash"),
+    )
+
+
+def _geohash_sql() -> str:
+    from .geo import geohash
+    from .oracles import pts_cte
+
+    return f"""
+    WITH pts AS ({pts_cte()}),
+    enc AS (
+      SELECT url, {geohash.encode_int_sql("lat", "lon")} AS gh_int FROM pts
+    )
+    SELECT url, gh_int, {geohash.encode_str_sql("gh_int")} AS geohash
+    FROM enc
+    """
+
+
+_register(GEO5B, "geohash_encode", _q_geohash_encode, _geohash_sql())

@@ -30,6 +30,13 @@ generation is linear in input + output, never O(n^2).
 
 Self-join mode: both sides are the same set; the ``a_id < b_id``
 filter keeps exactly one orientation of each unordered pair.
+
+``knn_join_radius`` builds on the same candidate grid for the
+two-set kNN join ("k nearest sites within R for every query point"):
+grid join -> exact integer refine -> per-query row_number. Unlike
+operators/assign.py's kNN (which broadcasts a small tile dimension),
+both sides here can be arbitrarily large — the radius bound is what
+keeps the candidate set, and therefore the window state, bounded.
 """
 
 from __future__ import annotations
@@ -115,4 +122,67 @@ def distance_band_pairs(
             "b_id",
             (dx * dx + dy * dy).cast("long").alias("dist2"),
         )
+    )
+
+
+def knn_join_radius(
+    queries: DataFrame,
+    q_id: str,
+    sites: DataFrame,
+    s_id: str,
+    x: str,
+    y: str,
+    k: int,
+    radius: int,
+) -> DataFrame:
+    """For each query point, its ``k`` nearest sites among those within
+    ``radius``: (q_id, s_id, dist2, rnk). Ties break on site id, so the
+    result is total-order deterministic."""
+    from pyspark.sql import Window
+
+    q = _with_cell(queries, x, y, radius).select(
+        F.col(q_id).alias("q_id"),
+        F.col(x).alias("qx"),
+        F.col(y).alias("qy"),
+        (F.col("__cx") * F.lit(1 << 21) + F.col("__cy")).alias("__cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
+            for dx, dy in _NEIGHBOR_OFFSETS
+        ]
+    )
+    s = (
+        _with_cell(sites, x, y, radius)
+        .select(
+            F.col(s_id).alias("s_id"),
+            F.col(x).alias("sx"),
+            F.col(y).alias("sy"),
+            F.col("__cx"),
+            F.col("__cy"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "s_id",
+            "sx",
+            "sy",
+            (
+                (F.col("__cx") + F.col("o.ox")) * F.lit(1 << 21)
+                + (F.col("__cy") + F.col("o.oy"))
+            ).alias("__cell"),
+        )
+    )
+    dx2 = F.col("qx") - F.col("sx")
+    dy2 = F.col("qy") - F.col("sy")
+    cand = (
+        q.hint("shuffle_hash")
+        .join(s, "__cell")
+        .where((dx2 * dx2 + dy2 * dy2) <= F.lit(radius * radius))
+        .select(
+            "q_id", "s_id", (dx2 * dx2 + dy2 * dy2).cast("long").alias("dist2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist2", "s_id")
+    return cand.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= k
     )

@@ -98,6 +98,35 @@ def main() -> None:
     }
     print(json.dumps(out))
 
+    # ---- BFS on the same graph (operators/graph.bfs_levels): seed
+    # ~N/1000 nodes, 4 hops; reports per-hop frontier size and wall.
+    from hand_index_spark.operators.graph import bfs_levels
+
+    seeds = nodes.where(F.col("node") % 1009 == 0)
+    t2 = time.monotonic()
+    levels = bfs_levels(edges, seeds, 4)
+    per_hop = {
+        int(r["hop"]): int(r["n"])
+        for r in levels.groupBy("hop").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    bfs_s = time.monotonic() - t2
+    print(
+        json.dumps(
+            {
+                "metric": "bfs_stress",
+                "nodes": N,
+                "edges": n_edges,
+                "seeds": per_hop.get(0, 0),
+                "per_hop": per_hop,
+                "reached": sum(per_hop.values()),
+                "wall_s": round(bfs_s, 3),
+                "edge_lookups_per_s": int(
+                    sum(per_hop.values()) * 3 / bfs_s
+                ),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

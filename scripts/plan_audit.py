@@ -442,6 +442,35 @@ def main() -> None:
         forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # cell pyramid: CASCADING rollup — no Expand node (that's GROUPING
+    # SETS' full row replication, the shape this operator exists to
+    # avoid), no Python, every level a plain hash aggregate
+    audit(
+        "cell_pyramid",
+        _GEO5B["cell_pyramid"],
+        expect=("HashAggregate", "Union"),
+        forbid=("Expand", "CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # kNN-radius join: grid candidates -> shuffled hash join -> window
+    # top-k; never a cross product, never Python
+    audit(
+        "knn_radius_join",
+        _GEO5B["knn_radius_join"],
+        expect=("ShuffledHashJoin", "Window"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # geohash: pure codegen encode, no exchange, no Python
+    audit(
+        "geohash_encode",
+        _GEO5B["geohash_encode"],
+        expect=("[codegen id :",),
+        forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

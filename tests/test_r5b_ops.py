@@ -145,6 +145,80 @@ def test_bpe_encode_merges_are_deterministic():
     assert all(len(a) >= 1 and len(b) >= 1 for a, b in _BPE_MERGES)
 
 
+def test_geohash_spec_vectors(spark):
+    """encode_str_col must reproduce CANONICAL geohashes (Niemeyer spec)
+    at 6-char precision — unlike h3lite, this codec is spec-exact."""
+    from hand_index_spark.geo import geohash
+
+    vectors = [
+        (57.64911, 10.40744, "u4pruy"),   # the classic Jutland example
+        (0.0, 0.0, "s00000"),
+        (48.858, 2.294, "u09tun"),        # Eiffel tower
+        (-33.8587, 151.2140, "r3gx2u"),   # Sydney
+    ]
+    df = spark.createDataFrame(
+        [(la, lo, want) for la, lo, want in vectors],
+        schema="lat double, lon double, want string",
+    )
+    got = df.select(
+        geohash.encode_str_col(
+            geohash.encode_int_col(F.col("lat"), F.col("lon"))
+        ).alias("gh"),
+        "want",
+    ).collect()
+    for r in got:
+        assert r.gh == r.want, (r.gh, r.want)
+
+
+def test_knn_radius_matches_bruteforce(spark):
+    from hand_index_spark.operators.distance_join import knn_join_radius
+
+    rng = np.random.default_rng(3)
+    Q = [(int(i), int(x), int(y)) for i, (x, y) in enumerate(rng.integers(0, 200, (60, 2)))]
+    S = [(int(i), int(x), int(y)) for i, (x, y) in enumerate(rng.integers(0, 200, (300, 2)))]
+    qdf = spark.createDataFrame(Q, schema="qid long, x long, y long")
+    sdf = spark.createDataFrame(S, schema="sid long, x long, y long")
+    got = {(r.q_id, r.s_id, r.dist2, r.rnk)
+           for r in knn_join_radius(qdf, "qid", sdf, "sid", "x", "y", 3, 40).collect()}
+    want = set()
+    for qi, qx, qy in Q:
+        cands = sorted(
+            ((qx - sx) ** 2 + (qy - sy) ** 2, si)
+            for si, sx, sy in S
+            if (qx - sx) ** 2 + (qy - sy) ** 2 <= 1600
+        )
+        for rnk, (d2, si) in enumerate(cands[:3], start=1):
+            want.add((qi, si, d2, rnk))
+    assert got == want and len(want) > 0
+
+
+def test_bfs_levels_hand_graph(spark):
+    from hand_index_spark.operators.graph import bfs_levels
+
+    # 0 -> 1 -> 2 -> 3 -> 4 (chain), plus shortcut 0 -> 3, island 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], schema="src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], schema="node long")
+    got = {(r.node, r.hop) for r in bfs_levels(edges, seeds, 3).collect()}
+    assert got == {(0, 0), (1, 1), (3, 1), (2, 2), (4, 2)}
+
+
+def test_cell_pyramid_levels_consistent(spark):
+    """Every level must sum to the same page total, and coarser levels
+    can only merge cells (monotone non-increasing distinct count)."""
+    from hand_index_spark.entry_queries_r5b import _q_cell_pyramid
+
+    rows = _q_cell_pyramid(spark, SF).collect()
+    by_res: dict[int, list] = {}
+    for r in rows:
+        by_res.setdefault(r.res, []).append(r)
+    totals = {res: sum(r.n_pages for r in rs) for res, rs in by_res.items()}
+    assert len(set(totals.values())) == 1, totals
+    counts = [len(by_res[res]) for res in (5, 6, 7, 8, 9)]
+    assert counts == sorted(counts), counts
+
+
 # ---------------------------------------------------------------- oracles
 
 
@@ -156,6 +230,10 @@ def test_bpe_encode_merges_are_deterministic():
         "convex_hull",
         "bpe_encode",
         "gapfill_interpolate",
+        "cell_pyramid",
+        "knn_radius_join",
+        "bfs_hops",
+        "geohash_encode",
     ],
 )
 def test_oracle_parity(spark, con, key):
