@@ -549,3 +549,242 @@ def _geohash_sql() -> str:
 
 
 _register(GEO5B, "geohash_encode", _q_geohash_encode, _geohash_sql())
+
+
+# --------------------------------------------------------------------------
+# Ring validity (operators/segments.ring_self_intersections): OGC
+# simple-ring check — non-adjacent edge pairs must not intersect.
+# Fixture: 48 rings; every k % 3 == 2 is a bowtie (one proper
+# self-crossing), the rest are convex octagons (valid). The oracle
+# rebuilds the identical edges from the same integer arithmetic and
+# replays the O(e^2) pair test.
+
+_RING_N = 48
+_RING_BOWTIE = [(0, 0), (4, 4), (4, 0), (0, 4)]
+_RING_OCTAGON = [(2, 0), (4, 0), (6, 2), (6, 4), (4, 6), (2, 6), (0, 4), (0, 2)]
+
+
+def _ring_fixture_rows():
+    rows = []
+    for k in range(_RING_N):
+        s = 1 + k % 4
+        dx, dy = 20 * k, 10 * k
+        tpl = _RING_BOWTIE if k % 3 == 2 else _RING_OCTAGON
+        flat: list[float] = []
+        for x, y in tpl:
+            flat += [float(s * x + dx), float(s * y + dy)]
+        rows.append((k, flat))
+    return rows
+
+
+def _q_ring_validity(spark, sf_dir):
+    from .operators.segments import ring_self_intersections
+
+    rings = spark.createDataFrame(
+        _ring_fixture_rows(), schema="ring_id long, coords_flat array<double>"
+    )
+    return ring_self_intersections(rings)
+
+
+def _ring_validity_sql() -> str:
+    oct_tpl = "[" + ", ".join(f"[{x}, {y}]" for x, y in _RING_OCTAGON) + "]"
+    bow_tpl = "[" + ", ".join(f"[{x}, {y}]" for x, y in _RING_BOWTIE) + "]"
+    return f"""
+    WITH r AS (SELECT unnest(range({_RING_N})) AS k),
+    tpl AS (
+      SELECT k, 1 + k % 4 AS s, 20 * k AS dx, 10 * k AS dy,
+             CASE WHEN k % 3 = 2 THEN {bow_tpl} ELSE {oct_tpl} END AS t
+      FROM r
+    ),
+    edges AS (
+      SELECT k AS ring_id, len(t) AS nv, i,
+             s * t[i + 1][1] + dx AS x1, s * t[i + 1][2] + dy AS y1,
+             s * t[((i + 1) % len(t)) + 1][1] + dx AS x2,
+             s * t[((i + 1) % len(t)) + 1][2] + dy AS y2
+      FROM (SELECT *, unnest(range(len(t))) AS i FROM tpl)
+    ),
+    pr AS (
+      SELECT a.ring_id,
+        (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d1,
+        (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d2,
+        (a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS d3,
+        (a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS d4,
+        a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+        b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+      FROM edges a JOIN edges b
+        ON a.ring_id = b.ring_id AND b.i > a.i + 1
+       AND NOT (a.i = 0 AND b.i = a.nv - 1)
+    ),
+    hits AS (
+      SELECT ring_id,
+        CASE WHEN (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                   AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+          OR (d1 = 0 AND ax1 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+                     AND ay1 BETWEEN least(by1, by2) AND greatest(by1, by2))
+          OR (d2 = 0 AND ax2 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+                     AND ay2 BETWEEN least(by1, by2) AND greatest(by1, by2))
+          OR (d3 = 0 AND bx1 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+                     AND by1 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+          OR (d4 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+                     AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+        THEN 1 ELSE 0 END AS hit
+      FROM pr
+    ),
+    counts AS (SELECT ring_id, sum(hit) AS n_bad FROM hits GROUP BY ring_id)
+    SELECT r.k AS ring_id,
+           CAST(coalesce(c.n_bad, 0) AS BIGINT) AS n_bad,
+           coalesce(c.n_bad, 0) = 0 AS is_valid
+    FROM r LEFT JOIN counts c ON c.ring_id = r.k
+    """
+
+
+_register(GEO5B, "ring_validity", _q_ring_validity, _ring_validity_sql())
+
+
+# --------------------------------------------------------------------------
+# Interval overlap self-join (operators/temporal.interval_overlap_join):
+# the 1-D distance-band analogue for time ranges — "pairs of fetch
+# windows that overlapped". Bucketed candidates, one shuffle; each
+# overlapping pair surfaces exactly once (at the bucket containing the
+# later start). Half-open [st, en) semantics.
+
+_IV_BUCKET = 64
+
+
+def _q_interval_overlap(spark, sf_dir):
+    from .operators.temporal import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
+    iv = e.select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 7) % 5000).alias("st"),
+        ((F.col("event_id") * 7) % 5000 + (F.col("event_id") * 13) % 50 + 1).alias(
+            "en"
+        ),
+    )
+    return interval_overlap_join(iv, "id", "st", "en", _IV_BUCKET)
+
+
+_INTERVAL_SQL = """
+    WITH iv AS (
+      SELECT event_id AS id,
+             (event_id * 7) % 5000 AS st,
+             (event_id * 7) % 5000 + (event_id * 13) % 50 + 1 AS en
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(least(a.en, b.en) - greatest(a.st, b.st) AS BIGINT) AS ov_len
+    FROM iv a JOIN iv b
+      ON a.id < b.id AND a.st < b.en AND b.st < a.en
+    """
+
+_register(TEXT5B, "interval_overlap_join", _q_interval_overlap, _INTERVAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (HRW) consistent hashing: shard assignment at N=8 and N=9
+# shards. HRW's minimal-movement property — growing the pool only moves
+# keys TO the new shard — is pinned by pytest; here both assignments
+# and the moved flag are oracle-checked. Score arithmetic is pure
+# BIGINT (p = 2^31 - 1 keeps h*h inside int64 on both engines).
+
+_CH_P = 2147483647
+
+
+def _ch_score(d, s: int):
+    h = ((d % _CH_P) * 1000003 + F.lit(s * 9176 + 12345)) % _CH_P
+    return (h * h + F.lit(s)) % _CH_P
+
+
+def _q_consistent_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+
+    def argmax(n: int):
+        arr = F.array(
+            *[
+                F.struct(_ch_score(doc, s).alias("sc"), F.lit(s).cast("long").alias("s"))
+                for s in range(n)
+            ]
+        )
+        return F.array_max(arr).getField("s")
+
+    return d.select(
+        "doc_id",
+        argmax(8).alias("shard8"),
+        argmax(9).alias("shard9"),
+        (argmax(8) != argmax(9)).alias("moved"),
+    )
+
+
+def _consistent_hash_sql() -> str:
+    def score(s: int) -> str:
+        h = f"((doc_id % {_CH_P}) * 1000003 + {s * 9176 + 12345}) % {_CH_P}"
+        return f"(({h}) * ({h}) + {s}) % {_CH_P}"
+
+    def argmax(n: int) -> str:
+        # max over (score, s) pairs == array_max on struct(sc, s)
+        terms = ", ".join(f"({score(s)}, {s})" for s in range(n))
+        return (
+            f"CAST((SELECT u.p[2] FROM (SELECT unnest([{terms}]) AS p) u "
+            f"ORDER BY u.p[1] DESC, u.p[2] DESC LIMIT 1) AS BIGINT)"
+        )
+
+    return f"""
+    SELECT doc_id,
+           {argmax(8)} AS shard8,
+           {argmax(9)} AS shard9,
+           {argmax(8)} <> {argmax(9)} AS moved
+    FROM documents
+    """
+
+
+_register(TEXT5B, "consistent_hash_assign", _q_consistent_hash, _consistent_hash_sql())
+
+
+# --------------------------------------------------------------------------
+# Crawl politeness schedule: per-host fetch slots (row_number over
+# priority) times the host's crawl delay — the frontier-scheduling
+# step between robots filtering and fetching.
+
+
+def _q_politeness(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    host_num = F.col("doc_id") % 50
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.concat(F.lit("h"), host_num.cast("string")).alias("host"),
+            ((F.col("doc_id") * 7919) % 100003).alias("priority"),
+            (F.lit(2) + host_num % 4).alias("delay"),
+        )
+        .withColumn("slot", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "doc_id",
+            "host",
+            "slot",
+            (F.col("slot") * F.col("delay")).cast("long").alias("fetch_at"),
+        )
+    )
+
+
+_POLITENESS_SQL = """
+    WITH q AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+             (doc_id * 7919) % 100003 AS priority,
+             2 + (doc_id % 50) % 4 AS delay
+      FROM documents
+    )
+    SELECT doc_id, host,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY priority, doc_id)
+                - 1 AS BIGINT) AS slot,
+           CAST((row_number() OVER (PARTITION BY host ORDER BY priority, doc_id)
+                - 1) * delay AS BIGINT) AS fetch_at
+    FROM q
+    """
+
+_register(TEXT5B, "politeness_schedule", _q_politeness, _POLITENESS_SQL)

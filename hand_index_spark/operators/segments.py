@@ -99,3 +99,90 @@ def segment_intersect_join(
         | ((d4 == 0) & _on_bbox(ax1, ay1, ax2, ay2, bx2, by2))
     )
     return cand.where(proper | touch).select("a_id", "b_id")
+
+
+def ring_self_intersections(rings: DataFrame) -> DataFrame:
+    """OGC-style simple-ring validation: per ring (ring_id,
+    coords_flat array<double>, OPEN ring — closure edge implied),
+    count pairs of NON-ADJACENT edges that intersect (proper crossing
+    or touch). (ring_id, n_bad BIGINT, is_valid) — a simple ring has
+    n_bad = 0.
+
+    Shape: the edge pair join is keyed on ring_id, so the work is
+    O(edges-per-ring^2) per ring and embarrassingly parallel across
+    rings — the per-feature cost a validation pass has anywhere; no
+    global candidate structure is needed because edges of different
+    rings can never invalidate each other. Coordinates must be
+    integer-valued (the cross products are exact in the long math)."""
+    nv = (F.size("coords_flat") / 2).cast("int")
+    edge_i = F.explode(F.sequence(F.lit(0), nv - 1)).alias("i")
+    c = F.col("coords_flat")
+
+    def at(idx):
+        return F.element_at(c, idx + 1).cast("long")
+
+    edges = (
+        rings.withColumn("nv", nv)
+        .select("ring_id", "nv", edge_i, "coords_flat")
+        .withColumn("j", (F.col("i") + 1) % F.col("nv"))
+        .select(
+            "ring_id",
+            "nv",
+            "i",
+            at(F.col("i") * 2).alias("x1"),
+            at(F.col("i") * 2 + 1).alias("y1"),
+            at(F.col("j") * 2).alias("x2"),
+            at(F.col("j") * 2 + 1).alias("y2"),
+        )
+    )
+
+    e1 = edges.select(
+        "ring_id",
+        "nv",
+        F.col("i").alias("ai"),
+        F.col("x1").alias("ax1"),
+        F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"),
+        F.col("y2").alias("ay2"),
+    )
+    e2 = edges.select(
+        "ring_id",
+        F.col("i").alias("bi"),
+        F.col("x1").alias("bx1"),
+        F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"),
+        F.col("y2").alias("by2"),
+    )
+    pairs = e1.join(e2, "ring_id").where(
+        (F.col("bi") > F.col("ai") + 1)
+        & ~((F.col("ai") == 0) & (F.col("bi") == F.col("nv") - 1))
+    )
+
+    ax1, ay1, ax2, ay2 = [F.col(s) for s in ("ax1", "ay1", "ax2", "ay2")]
+    bx1, by1, bx2, by2 = [F.col(s) for s in ("bx1", "by1", "bx2", "by2")]
+    d1 = _cross(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = _cross(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _cross(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    touch = (
+        ((d1 == 0) & _on_bbox(bx1, by1, bx2, by2, ax1, ay1))
+        | ((d2 == 0) & _on_bbox(bx1, by1, bx2, by2, ax2, ay2))
+        | ((d3 == 0) & _on_bbox(ax1, ay1, ax2, ay2, bx1, by1))
+        | ((d4 == 0) & _on_bbox(ax1, ay1, ax2, ay2, bx2, by2))
+    )
+    bad = pairs.withColumn("hit", (proper | touch).cast("long"))
+    counts = bad.groupBy("ring_id").agg(F.sum("hit").alias("n_bad"))
+    # triangles have no non-adjacent pairs at all — left join keeps them
+    return (
+        rings.select("ring_id")
+        .join(counts, "ring_id", "left")
+        .select(
+            "ring_id",
+            F.coalesce(F.col("n_bad"), F.lit(0)).cast("long").alias("n_bad"),
+            (F.coalesce(F.col("n_bad"), F.lit(0)) == 0).alias("is_valid"),
+        )
+    )

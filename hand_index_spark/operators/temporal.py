@@ -177,3 +177,50 @@ def range_join_bucketed(
         F.col(f"r.{c}") for c in right.columns
     ]
     return refined.select(*keep)
+
+
+def interval_overlap_join(
+    intervals: DataFrame, id_col: str, st: str, en: str, bucket: int
+) -> DataFrame:
+    """All unordered pairs (a_id < b_id) of half-open integer intervals
+    [st, en) that overlap: (a_id, b_id, ov_len).
+
+    The 1-D analogue of the distance-band grid join: each interval
+    explodes to the ``bucket``-sized buckets it touches, candidates
+    pair up through ONE equi-join on the bucket key, and each
+    overlapping pair is emitted exactly once — at the bucket containing
+    the LATER start (which lies inside both intervals, so both sides
+    cover it). ``bucket`` should be >= the typical interval length;
+    long intervals cost ceil(len/bucket) candidate rows, the standard
+    banding trade-off (same as range_join_bucketed above).
+    """
+    b0 = F.expr(f"`{st}` div {bucket}")
+    b1 = F.expr(f"(`{en}` - 1) div {bucket}")
+    ex = intervals.withColumn("__b", F.explode(F.sequence(b0, b1)))
+    a = ex.select(
+        F.col(id_col).alias("a_id"),
+        F.col(st).alias("a_st"),
+        F.col(en).alias("a_en"),
+        F.col("__b"),
+    )
+    b = ex.select(
+        F.col(id_col).alias("b_id"),
+        F.col(st).alias("b_st"),
+        F.col(en).alias("b_en"),
+        F.col("__b"),
+    )
+    later_start = F.greatest(F.col("a_st"), F.col("b_st"))
+    return (
+        a.hint("shuffle_hash")
+        .join(b, "__b")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where((F.col("a_st") < F.col("b_en")) & (F.col("b_st") < F.col("a_en")))
+        .where(F.col("__b") == F.expr(f"greatest(a_st, b_st) div {bucket}"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.least(F.col("a_en"), F.col("b_en")) - later_start
+            ).cast("long").alias("ov_len"),
+        )
+    )

@@ -471,6 +471,25 @@ def main() -> None:
         forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # interval overlap: bucketed candidates through a shuffled hash
+    # join (same banding as the distance-band grid, in 1-D)
+    audit(
+        "interval_overlap_join",
+        _TEXT5B["interval_overlap_join"],
+        expect=("ShuffledHashJoin",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # rendezvous hashing: per-row argmax over shard scores — pure
+    # codegen map work, no exchange, no Python
+    audit(
+        "consistent_hash_assign",
+        _TEXT5B["consistent_hash_assign"],
+        expect=("[codegen id :",),
+        forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

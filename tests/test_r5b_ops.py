@@ -219,6 +219,56 @@ def test_cell_pyramid_levels_consistent(spark):
     assert counts == sorted(counts), counts
 
 
+def test_ring_validity_classification(spark):
+    """Bowties (k % 3 == 2) invalid with exactly one bad pair; octagons
+    valid — the closed-form expectation behind the SQL twin."""
+    from hand_index_spark.entry_queries_r5b import _q_ring_validity
+
+    for r in _q_ring_validity(spark, SF).collect():
+        if r.ring_id % 3 == 2:
+            assert not r.is_valid and r.n_bad == 1, r
+        else:
+            assert r.is_valid and r.n_bad == 0, r
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    from hand_index_spark.operators.temporal import interval_overlap_join
+
+    rng = np.random.default_rng(5)
+    iv = [
+        (int(i), int(s), int(s + ln))
+        for i, (s, ln) in enumerate(
+            zip(rng.integers(0, 400, 200), rng.integers(1, 90, 200))
+        )
+    ]
+    df = spark.createDataFrame(iv, schema="id long, st long, en long")
+    got = {
+        (r.a_id, r.b_id, r.ov_len)
+        for r in interval_overlap_join(df, "id", "st", "en", 64).collect()
+    }
+    want = {
+        (i, j, min(e1, e2) - max(s1, s2))
+        for i, s1, e1 in iv
+        for j, s2, e2 in iv
+        if i < j and s1 < e2 and s2 < e1
+    }
+    assert got == want and len(want) > 0
+
+
+def test_consistent_hash_minimal_movement(spark):
+    """HRW property: growing 8 -> 9 shards only moves keys TO shard 8,
+    and roughly 1/9 of them."""
+    from hand_index_spark.entry_queries_r5b import _q_consistent_hash
+
+    rows = _q_consistent_hash(spark, SF).collect()
+    moved = [r for r in rows if r.moved]
+    assert all(r.shard9 == 8 for r in moved)
+    frac = len(moved) / len(rows)
+    assert 0.03 < frac < 0.25, frac  # ~1/9 with fixture-size noise
+    assert {r.shard8 for r in rows} <= set(range(8))
+    assert {r.shard9 for r in rows} <= set(range(9))
+
+
 # ---------------------------------------------------------------- oracles
 
 
@@ -234,6 +284,10 @@ def test_cell_pyramid_levels_consistent(spark):
         "knn_radius_join",
         "bfs_hops",
         "geohash_encode",
+        "ring_validity",
+        "interval_overlap_join",
+        "consistent_hash_assign",
+        "politeness_schedule",
     ],
 )
 def test_oracle_parity(spark, con, key):
