@@ -712,3 +712,11 @@ from .entry_queries_r5b import GEO5B, ORACLES5B, TEXT5B  # noqa: E402
 GEO_QUERIES.update(GEO5B)
 TEXTOPS.update(TEXT5B)
 ORACLES.update(ORACLES5B)
+
+# batch 5c (round 5): geodesic band join, quadkeys, triangle counts,
+# weighted SSSP, IDW interpolation, Moran's I, sitemap extraction
+from .entry_queries_r5c import GEO5C, ORACLES5C, TEXT5C  # noqa: E402
+
+GEO_QUERIES.update(GEO5C)
+TEXTOPS.update(TEXT5C)
+ORACLES.update(ORACLES5C)

@@ -1,0 +1,435 @@
+"""Round-5c registry batch: geodesic (haversine) band join, spec-exact
+Web-Mercator quadkeys, triangle counting, weighted SSSP, IDW
+interpolation, Moran's I spatial autocorrelation, sitemap extraction.
+
+Same contract as every other batch: each query is (a) an idiomatic
+Spark program over the driver's parquet tables and (b) a DuckDB oracle
+with identical column names and arithmetic. All fixtures derive from
+``documents.doc_id`` with pure integer arithmetic (exact on both
+engines); float work enters only through the engine-wide
+discretize-or-ordered-sum rules (geo/sphere.py, operators/
+interpolate.py docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+GEO5C: dict = {}
+TEXT5C: dict = {}
+ORACLES5C: dict[str, str] = {}
+
+
+def _register(reg: dict, name: str, fn, oracle: str | None) -> None:
+    reg[name] = fn
+    if oracle is not None:
+        ORACLES5C[name] = oracle
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Geodesic distance-band self-join (geo/sphere.py): all page pairs
+# within R great-circle meters. Geotags are integer milli-degrees in a
+# mid-latitude window (30-50 degN: inside the |lat| <= 60 cos bound).
+# Spark runs the one-shuffle 3x3 lat/lon grid join; the oracle replays
+# the O(n^2) definition with the identical haversine expression
+# (floor-meter discretization on both sides — the trig ulp rule).
+
+_GEO_RADIUS_M = 100_000
+
+
+def _q_geodesic_band(spark, sf_dir):
+    from .geo.sphere import geodesic_band_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 9176) % 20000 + 30000).alias("lat_md"),
+        ((F.col("doc_id") * 30269) % 30000 - 15000).alias("lon_md"),
+    )
+    return geodesic_band_pairs(pts, "id", "lat_md", "lon_md", _GEO_RADIUS_M)
+
+
+def _geodesic_band_sql() -> str:
+    from .geo.sphere import haversine_floor_meters_sql
+
+    hav = haversine_floor_meters_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS id,
+             (doc_id * 9176) % 20000 + 30000 AS lat,
+             (doc_id * 30269) % 30000 - 15000 AS lon
+      FROM documents
+    )
+    SELECT a.id AS a_id, b.id AS b_id, {hav} AS meters
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE {hav} <= {_GEO_RADIUS_M}
+    """
+
+
+_register(GEO5C, "geodesic_band_join", _q_geodesic_band, _geodesic_band_sql())
+
+
+# --------------------------------------------------------------------------
+# Spec-exact Web-Mercator XYZ tile + Bing quadkey (geo/quadkey.py) at
+# zoom 12 for every geotagged page. Unlike H3 the published spec is
+# pure arithmetic, so this is pinned to independent spec vectors in
+# tests/test_r5c_ops.py; the oracle recomputes tile and quadkey with
+# the identical operation order.
+
+_QK_ZOOM = 12
+
+
+def _q_quadkey(spark, sf_dir):
+    from .geo.quadkey import quadkey, tile_xy
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 9176) % 160000 - 80000).alias("lat_md"),
+        ((F.col("doc_id") * 30269) % 360000 - 180000).alias("lon_md"),
+    )
+    tx, ty = tile_xy(F.col("lat_md"), F.col("lon_md"), _QK_ZOOM)
+    out = pts.select("doc_id", tx.alias("tx"), ty.alias("ty"))
+    return out.select(
+        "doc_id",
+        "tx",
+        "ty",
+        quadkey(F.col("tx"), F.col("ty"), _QK_ZOOM).alias("quadkey"),
+    )
+
+
+def _quadkey_sql() -> str:
+    from .geo.quadkey import quadkey_sql, tile_xy_sql
+
+    tx, ty = tile_xy_sql(
+        "(doc_id * 9176) % 160000 - 80000",
+        "(doc_id * 30269) % 360000 - 180000",
+        _QK_ZOOM,
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {tx} AS tx, {ty} AS ty FROM documents
+    )
+    SELECT doc_id, tx, ty, {quadkey_sql("tx", "ty", _QK_ZOOM)} AS quadkey
+    FROM t
+    """
+
+
+_register(GEO5C, "quadkey_encode", _q_quadkey, _quadkey_sql())
+
+
+# --------------------------------------------------------------------------
+# Per-node triangle counts (operators/graph.triangle_node_counts) over
+# a link graph with a planted ring (every i-(i+1)-(i+2) closes a
+# triangle) plus a hub node for skew. Spark uses the degree-ordered
+# wedge join; the oracle replays the a<b<c three-way join definition.
+
+
+def _q_triangles(spark, sf_dir):
+    from .operators.graph import triangle_node_counts
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    ring = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("s"),
+        )
+        .withColumn("dst", (F.col("src") + F.col("s")) % F.lit(n))
+        .select("src", "dst")
+    )
+    hub = d.where(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("src"), F.lit(7).cast("long").alias("dst")
+    )
+    return triangle_node_counts(ring.union(hub))
+
+
+_TRIANGLES_SQL = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (doc_id + s) % (SELECT n FROM nn) AS dst
+      FROM documents, unnest([1, 2]) AS u(s)
+      UNION ALL
+      SELECT doc_id AS src, 7 AS dst FROM documents WHERE doc_id % 97 = 3
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v AS node FROM tri
+      UNION ALL SELECT w AS node FROM tri
+    )
+    GROUP BY node
+    """
+
+_register(TEXT5C, "triangle_counts", _q_triangles, _TRIANGLES_SQL)
+
+
+# --------------------------------------------------------------------------
+# Weighted single-source-set shortest paths (operators/graph.
+# sssp_rounds): 4 Bellman-Ford relaxation rounds over the deterministic
+# link graph with integer weights, from the doc_id % 41 seed set. The
+# oracle unrolls the same union+min recurrence one CTE per round, so
+# the result is well-defined even where 4 rounds haven't converged.
+
+_SSSP_ROUNDS = 4
+_SSSP_SEED_MOD = 41
+
+
+def _q_sssp(spark, sf_dir):
+    from .operators.graph import sssp_rounds
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"),
+        )
+        .withColumn(
+            "dst", (F.col("src") * F.lit(31) + F.col("j") * F.lit(17)) % F.lit(n)
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn(
+            "w", F.lit(1) + (F.col("src") * F.lit(7) + F.col("dst") * F.lit(11)) % F.lit(9)
+        )
+        .localCheckpoint(eager=True)
+    )
+    seeds = d.where(F.col("doc_id") % _SSSP_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return sssp_rounds(edges, seeds, _SSSP_ROUNDS)
+
+
+def _sssp_sql() -> str:
+    head = f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+        SELECT src, dst, 1 + (src * 7 + dst * 11) % 9 AS w FROM (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 31 + j * 17) % (SELECT n FROM nn) AS dst
+                FROM documents, unnest([1, 2, 3]) AS u(j)
+            ) WHERE dst <> src
+        )
+    ),
+    r0 AS (
+        SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+        FROM documents WHERE doc_id % {_SSSP_SEED_MOD} = 0
+    )"""
+    parts = [head]
+    for k in range(1, _SSSP_ROUNDS + 1):
+        parts.append(f""",
+    r{k} AS (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM r{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, p.dist + e.w AS dist
+            FROM edges e JOIN r{k - 1} p ON p.node = e.src
+        ) GROUP BY node
+    )""")
+    parts.append(f"\n    SELECT node, dist FROM r{_SSSP_ROUNDS}\n    ")
+    return "".join(parts)
+
+
+_register(TEXT5C, "sssp_weighted", _q_sssp, _sssp_sql())
+
+
+# --------------------------------------------------------------------------
+# IDW interpolation (operators/interpolate.py): k=4 nearest sites
+# within radius 60, queries on the even lattice / sites on the odd
+# (d2 > 0 by parity). The oracle replays the O(n*m) kNN then sums the
+# identical v/d2 terms in the identical (dist2, s_id) order (ordered
+# list + left-assoc list_sum — the engine-wide ordered-sum rule).
+
+_IDW_K = 4
+_IDW_RADIUS = 60
+
+
+def _q_idw(spark, sf_dir):
+    from .operators.interpolate import idw_interpolate
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        F.col("doc_id").alias("qid"),
+        (F.lit(2) * ((F.col("doc_id") * 7919) % 500)).alias("px"),
+        (F.lit(2) * ((F.col("doc_id") * 104729) % 500)).alias("py"),
+    )
+    s = d.select(
+        F.col("doc_id").alias("sid"),
+        (F.lit(2) * ((F.col("doc_id") * 7) % 500) + 1).alias("px"),
+        (F.lit(2) * ((F.col("doc_id") * 13) % 500) + 1).alias("py"),
+        ((F.col("doc_id") * 37) % 1000).alias("v"),
+    )
+    return idw_interpolate(
+        q, "qid", s, "sid", "px", "py", "v", _IDW_K, _IDW_RADIUS
+    )
+
+
+_IDW_SQL = f"""
+    WITH q AS (
+      SELECT doc_id AS q_id,
+             2 * ((doc_id * 7919) % 500) AS px,
+             2 * ((doc_id * 104729) % 500) AS py
+      FROM documents
+    ), s AS (
+      SELECT doc_id AS s_id,
+             2 * ((doc_id * 7) % 500) + 1 AS px,
+             2 * ((doc_id * 13) % 500) + 1 AS py,
+             (doc_id * 37) % 1000 AS v
+      FROM documents
+    ), cand AS (
+      SELECT q.q_id, s.s_id,
+             CAST((q.px - s.px) * (q.px - s.px)
+                + (q.py - s.py) * (q.py - s.py) AS BIGINT) AS dist2,
+             s.v
+      FROM q JOIN s
+        ON (q.px - s.px) * (q.px - s.px) + (q.py - s.py) * (q.py - s.py)
+           <= {_IDW_RADIUS * _IDW_RADIUS}
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist2, s_id) AS rnk
+      FROM cand
+    ), top AS (
+      SELECT * FROM ranked WHERE rnk <= {_IDW_K}
+    ), agg AS (
+      SELECT q_id,
+             CAST(count(*) AS BIGINT) AS n_sites,
+             list(CAST(v AS DOUBLE) / CAST(dist2 AS DOUBLE)
+                  ORDER BY dist2, s_id) AS nums,
+             list(1.0 / CAST(dist2 AS DOUBLE)
+                  ORDER BY dist2, s_id) AS dens
+      FROM top GROUP BY q_id
+    )
+    SELECT q_id, n_sites, list_sum(nums) / list_sum(dens) AS idw FROM agg
+    """
+
+_register(GEO5C, "idw_interpolate", _q_idw, _IDW_SQL)
+
+
+# --------------------------------------------------------------------------
+# Global Moran's I (operators/autocorr.py) over a 25x20 occupancy grid
+# with a smooth planted trend. All-integer numerator/denominator via
+# the n-scaled mean trick; the statistic is ONE IEEE division of two
+# exact BIGINTs on both engines (zero rounding slack).
+
+
+def _q_morans(spark, sf_dir):
+    from .operators.autocorr import morans_i
+
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy(
+            (F.col("doc_id") % 25).alias("gx"),
+            F.expr("(doc_id DIV 25) % 20").alias("gy"),
+        )
+        .agg(F.count("*").alias("c"))
+        .select(
+            "gx",
+            "gy",
+            (
+                F.col("c")
+                + F.expr("gx DIV 5") * F.lit(3)
+                + F.expr("gy DIV 5") * F.lit(2)
+            ).alias("val"),
+        )
+    )
+    return morans_i(cells, "gx", "gy", "val")
+
+
+_MORANS_SQL = """
+    WITH cells AS (
+      SELECT gx, gy,
+             CAST(count(*) + (gx // 5) * 3 + (gy // 5) * 2 AS BIGINT) AS x
+      FROM (SELECT doc_id % 25 AS gx, (doc_id // 25) % 20 AS gy
+            FROM documents)
+      GROUP BY gx, gy
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM cells
+    ),
+    z AS (SELECT gx, gy, n * x - s AS z FROM cells, st),
+    pr AS (
+      SELECT a.z AS za, b.z AS zb
+      FROM z a JOIN z b ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+    ),
+    acc AS (
+      SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+             CAST(sum(za * zb) AS BIGINT) AS num
+      FROM pr
+    ),
+    dd AS (SELECT CAST(sum(z * z) AS BIGINT) AS den FROM z)
+    SELECT st.n AS n, acc.w_pairs, acc.num, dd.den,
+           CAST(st.n * acc.num AS DOUBLE)
+             / CAST(acc.w_pairs * dd.den AS DOUBLE) AS morans_i
+    FROM st, acc, dd
+    """
+
+_register(GEO5C, "morans_i_grid", _q_morans, _MORANS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Sitemap extraction: build each page's sitemap XML closed-form, parse
+# the <loc> entries back out with regexp_extract_all + posexplode. The
+# oracle regenerates (doc_id, pos, loc) from the same arithmetic
+# WITHOUT parsing — independent of the markup round-trip (the
+# anchor_agg pattern).
+
+
+def _q_sitemap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    host = F.col("doc_id") % 50
+    entry = lambda j: F.concat(  # noqa: E731
+        F.lit("<url><loc>https://h"),
+        host.cast("string"),
+        F.lit(".example/p"),
+        F.col("doc_id").cast("string"),
+        F.lit("/"),
+        j.cast("string"),
+        F.lit("</loc><lastmod>2026-01-0"),
+        (j % 9 + 1).cast("string"),
+        F.lit("</lastmod></url>"),
+    )
+    xml = F.concat(
+        F.lit("<urlset>"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 4),
+                lambda j: entry(j),
+            ),
+            F.lit(""),
+            lambda a, x: F.concat(a, x),
+        ),
+        F.lit("</urlset>"),
+    )
+    locs = F.regexp_extract_all(xml, F.lit("<loc>([^<]*)</loc>"), 1)
+    return d.select(
+        "doc_id", F.posexplode(locs).alias("pos", "loc")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "loc")
+
+
+_SITEMAP_SQL = """
+    SELECT doc_id, CAST(j AS BIGINT) AS pos,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example/p' || CAST(doc_id AS VARCHAR)
+             || '/' || CAST(j AS VARCHAR) AS loc
+    FROM documents, unnest(range(1 + doc_id % 4)) AS u(j)
+    """
+
+_register(TEXT5C, "sitemap_extract", _q_sitemap, _SITEMAP_SQL)

@@ -490,6 +490,78 @@ def main() -> None:
         forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5c import (  # noqa: E402
+        GEO5C as _GEO5C,
+        TEXT5C as _TEXT5C,
+    )
+
+    # geodesic band join: lat/lon grid candidates through ONE shuffled
+    # hash join on the packed cell key; haversine refine stays codegen
+    audit(
+        "geodesic_band_join",
+        _GEO5C["geodesic_band_join"],
+        expect=("ShuffledHashJoin",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # quadkey: pure codegen encode — no exchange, no Python
+    audit(
+        "quadkey_encode",
+        _GEO5C["quadkey_encode"],
+        expect=("[codegen id :",),
+        forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # triangle counting: degree-ordered wedge join — equi-joins and
+    # hash aggregates only, never a cross product, never Python
+    audit(
+        "triangle_counts",
+        _TEXT5C["triangle_counts"],
+        expect=("Join", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # weighted SSSP: per-round frontier equi-join + min aggregate over
+    # a checkpointed frontier (Scan ExistingRDD), no cross product
+    audit(
+        "sssp_weighted",
+        _TEXT5C["sssp_weighted"],
+        expect=("HashAggregate", "Scan ExistingRDD"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # IDW: radius-kNN grid join + ordered-array fold — all JVM-side
+    audit(
+        "idw_interpolate",
+        _GEO5C["idw_interpolate"],
+        expect=("ShuffledHashJoin",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # Moran's I: the neighbor pairing is a shuffled hash join on the
+    # packed cell key; the two 1-row scalar broadcasts are deliberate
+    # (BroadcastNestedLoopJoin on a single-row side), so only a true
+    # cross product or Python stage is forbidden
+    audit(
+        "morans_i_grid",
+        _GEO5C["morans_i_grid"],
+        expect=("ShuffledHashJoin",),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # sitemap extraction: build + parse + posexplode is pure per-row
+    # map work — Generate with NO exchange, no Python
+    audit(
+        "sitemap_extract",
+        _TEXT5C["sitemap_extract"],
+        expect=("Generate",),
+        forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

@@ -1,0 +1,234 @@
+"""Round-5c operators: geodesic band join, quadkey codec, triangle
+counting, weighted SSSP, IDW interpolation, Moran's I, sitemap
+extraction — kernel unit tests (spec vectors, closed forms, brute-force
+cross-checks) plus full oracle parity for each registered query."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.compare_util import assert_match, duck_con
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF)
+    yield c
+    c.close()
+
+
+# ---------------------------------------------------------------- quadkey
+
+
+def test_quadkey_spec_vector_bing_doc():
+    # Bing Maps tile-system doc: tile (3, 5) at level 3 -> "213"
+    from hand_index_spark.geo.quadkey import quadkey_py
+
+    assert quadkey_py(3, 5, 3) == "213"
+    assert quadkey_py(0, 0, 1) == "0"
+    assert quadkey_py(1, 0, 1) == "1"
+    assert quadkey_py(0, 1, 1) == "2"
+    assert quadkey_py(1, 1, 1) == "3"
+
+
+def test_tile_xy_spec_vectors():
+    from hand_index_spark.geo.quadkey import tile_xy_py
+
+    # corners and center of the spec's tile space
+    assert tile_xy_py(0.0, 0.0, 1) == (1, 1)  # x=0.5,y=0.5 -> tile (1,1)
+    assert tile_xy_py(85.05112878, -180.0, 1) == (0, 0)
+    assert tile_xy_py(-85.05112878, 179.999, 1) == (1, 1)
+    # Bing doc example: Seattle-ish (47.61, -122.33) at level 3 ->
+    # lon x = (57.67)/360 = 0.1602 -> tx = floor(0.1602*8) = 1
+    tx, ty = tile_xy_py(47.61, -122.33, 3)
+    assert (tx, ty) == (1, 2)
+
+
+def test_spark_quadkey_matches_pure_python(spark):
+    from hand_index_spark.geo.quadkey import quadkey, quadkey_py, tile_xy, tile_xy_py
+
+    rows = [(i, (i * 9176) % 160000 - 80000, (i * 30269) % 360000 - 180000)
+            for i in range(0, 400, 7)]
+    df = spark.createDataFrame(
+        rows, schema="i long, lat_md long, lon_md long"
+    )
+    tx, ty = tile_xy(F.col("lat_md"), F.col("lon_md"), 12)
+    got = {
+        r["i"]: (r["tx"], r["ty"], r["qk"])
+        for r in df.select(
+            "i", tx.alias("tx"), ty.alias("ty"),
+        ).withColumn("qk", quadkey(F.col("tx"), F.col("ty"), 12)).collect()
+    }
+    for i, lat_md, lon_md in rows:
+        etx, ety = tile_xy_py(lat_md / 1000.0, lon_md / 1000.0, 12)
+        assert got[i] == (etx, ety, quadkey_py(etx, ety, 12)), i
+
+
+# ---------------------------------------------------------------- sphere
+
+
+def _hav_py(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    s1 = math.sin((p2 - p1) / 2.0)
+    s2 = math.sin((math.radians(lon2) - math.radians(lon1)) / 2.0)
+    h = s1 * s1 + math.cos(p1) * math.cos(p2) * s2 * s2
+    return 2.0 * math.asin(math.sqrt(h)) * 6371000.0
+
+
+def test_haversine_known_distances(spark):
+    from hand_index_spark.geo.sphere import haversine_floor_meters
+
+    # 1 degree of meridian arc on the 6371km sphere = 111194.9m
+    df = spark.createDataFrame(
+        [(0, 0, 1000, 0), (45000, 10000, 45000, 11000), (30000, 0, 31000, 1000)],
+        schema="lat1 long, lon1 long, lat2 long, lon2 long",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            haversine_floor_meters(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            )
+        ).collect()
+    ]
+    assert got[0] == 111194  # floor(111194.92...)
+    # same expression in pure python agrees to the floor meter
+    exp1 = math.floor(_hav_py(45.0, 10.0, 45.0, 11.0))
+    assert abs(got[1] - exp1) <= 1  # trig ulp slack vs libm
+    assert got[1] == 78626  # pinned: ~cos(45 deg) * 111 km
+
+
+def test_geodesic_band_pairs_vs_bruteforce(spark):
+    from hand_index_spark.geo.sphere import geodesic_band_pairs
+
+    pts = [(i, 40000 + (i * 991) % 3000, (i * 1637) % 4000 - 2000)
+           for i in range(120)]
+    df = spark.createDataFrame(pts, schema="id long, lat long, lon long")
+    got = {
+        (r["a_id"], r["b_id"]): r["meters"]
+        for r in geodesic_band_pairs(df, "id", "lat", "lon", 50_000).collect()
+    }
+    want = {}
+    for i, (a, alat, alon) in enumerate(pts):
+        for b, blat, blon in pts[i + 1:]:
+            m = math.floor(
+                _hav_py(alat / 1e3, alon / 1e3, blat / 1e3, blon / 1e3)
+            )
+            if m <= 50_000:
+                want[(a, b)] = m
+    assert set(got) == set(want)
+    for k, m in want.items():
+        assert abs(got[k] - m) <= 1, k  # JVM-vs-libm last-ulp slack only
+
+
+# ---------------------------------------------------------------- graph
+
+
+def test_triangle_counts_k4(spark):
+    from hand_index_spark.operators.graph import triangle_node_counts
+
+    # K4: every node is in C(3,2) = 3 triangles; edges given directed
+    # and duplicated to exercise canonicalization
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_node_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_ring_plus_chord(spark):
+    from hand_index_spark.operators.graph import triangle_node_counts
+
+    # square 0-1-2-3-0 has no triangle; chord (0,2) makes two
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], schema="src long, dst long"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_node_counts(df).collect()}
+    assert got == {0: 2, 1: 1, 2: 2, 3: 1}
+
+
+def test_sssp_rounds_small_graph(spark):
+    from hand_index_spark.operators.graph import sssp_rounds
+
+    # 0 ->1 (w5), 0->2 (w1), 2->1 (w1), 1->3 (w1): dist(1)=2 via 2
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 1), (2, 1, 1), (1, 3, 1)],
+        schema="src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], schema="node long")
+    got = {r["node"]: r["dist"] for r in sssp_rounds(edges, seeds, 4).collect()}
+    assert got == {0: 0, 1: 2, 2: 1, 3: 3}
+
+
+# ---------------------------------------------------------------- idw
+
+
+def test_idw_exact_two_sites(spark):
+    from hand_index_spark.operators.interpolate import idw_interpolate
+
+    q = spark.createDataFrame([(1, 0, 0)], schema="qid long, px long, py long")
+    s = spark.createDataFrame(
+        [(10, 1, 0, 8), (11, 0, 3, 5), (12, 100, 100, 999)],
+        schema="sid long, px long, py long, v long",
+    )
+    out = idw_interpolate(q, "qid", s, "sid", "px", "py", "v", 4, 10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # d2 = 1 and 9: idw = (8/1 + 5/9) / (1/1 + 1/9)
+    want = ((0.0 + 8.0 / 1.0) + 5.0 / 9.0) / ((0.0 + 1.0 / 1.0) + 1.0 / 9.0)
+    assert r["n_sites"] == 2
+    assert r["idw"] == want  # bit-exact: same IEEE op order
+
+
+# ---------------------------------------------------------------- moran
+
+
+def test_morans_i_checkerboard_is_minus_one(spark):
+    from hand_index_spark.operators.autocorr import morans_i
+
+    # perfect checkerboard: every rook neighbor pair is opposite-signed
+    # => I = -1 exactly (num = -W*c^2, den = n*c^2)
+    rows = [(x, y, 10 if (x + y) % 2 == 0 else 4)
+            for x in range(6) for y in range(6)]
+    df = spark.createDataFrame(rows, schema="gx long, gy long, v long")
+    r = morans_i(df, "gx", "gy", "v").collect()[0]
+    assert r["n"] == 36
+    assert r["w_pairs"] == 2 * (2 * 6 * 5)  # directed rook pairs on 6x6
+    assert r["morans_i"] == -1.0
+
+
+def test_morans_i_constant_field_is_null(spark):
+    from hand_index_spark.operators.autocorr import morans_i
+
+    rows = [(x, y, 7) for x in range(3) for y in range(3)]
+    df = spark.createDataFrame(rows, schema="gx long, gy long, v long")
+    r = morans_i(df, "gx", "gy", "v").collect()[0]
+    assert r["den"] == 0 and r["num"] == 0  # 0/0 -> NULL statistic
+    assert r["morans_i"] is None
+
+
+# ---------------------------------------------------------------- parity
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "geodesic_band_join",
+        "quadkey_encode",
+        "triangle_counts",
+        "sssp_weighted",
+        "idw_interpolate",
+        "morans_i_grid",
+        "sitemap_extract",
+    ],
+)
+def test_oracle_parity(spark, con, key):
+    from hand_index_spark.entry_queries_r5c import GEO5C, ORACLES5C, TEXT5C
+
+    fn = GEO5C.get(key) or TEXT5C[key]
+    assert_match(fn(spark, SF), ORACLES5C[key], con, key)
