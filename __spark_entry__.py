@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (150 queries as of round 5) and EVERY one carries a DuckDB
+SURVEY.md §2 (157 queries as of round 5) and EVERY one carries a DuckDB
 oracle — including the geo assignment (the tile grid is closed-form
 arithmetic, tables/tilegrid.py), the trig-bearing transforms (via
 discretization-safe comparisons), iterative graph clustering (via a
@@ -10,7 +10,7 @@ recursive-CTE closure), stateful streaming (via batch parity), the
 no-broadcast join paths, temporal joins, sketches, and the icelite
 maintenance surface. Registry batches: entry_queries.py,
 entry_queries_ext.py, entry_queries_r2.py, entry_queries_r4.py,
-entry_queries_r5.py, entry_queries_r5b.py; see
+entry_queries_r5.py, entry_queries_r5b.py, entry_queries_r5c.py; see
 COVERAGE.md for the operator -> query map.
 
 Session requirements: NONE. Every query runs green under a bare
@@ -55,7 +55,7 @@ DRIVER_SAMPLE_ORDER = [
     "knn_fallback", "cells_encode", "s2_cells", "albers_forward",
     "union_catchments", "overlap_refine", "roi_pip_filter",
     "wkb_roundtrip", "raster_corners", "salted_histogram",
-    "simplify_ring", "text_invariant", "union_overlap",
+    "simplify_ring", "quadkey_encode", "union_overlap",
     # storage / icelite DML + lineage + zone-map file skipping
     "partitioned_roundtrip", "icelite_merge", "lineage_counts",
     "zonemap_pruned_read", "zorder_pruned_read", "matview_incremental",
@@ -73,8 +73,9 @@ DRIVER_SAMPLE_ORDER = [
     "embedding_topk", "ann_ivf_indexed", "ann_lsh_topk",
     # text analysis
     "langid", "lm_score", "html_extract_text",
-    # distance-band + segment-overlay spatial joins (round-5b families)
-    "distance_band_join", "segment_intersect_join",
+    # geodesic + segment-overlay spatial joins (round-5b/5c families;
+    # the planar distance_band_join twin stays full-registry-verified)
+    "geodesic_band_join", "segment_intersect_join",
     # multimodal / codecs
     "multimodal_decode", "jpeg_decode_stats",
     # sources (WARC archive cycle), graph, sketches
