@@ -433,3 +433,157 @@ _SITEMAP_SQL = """
     """
 
 _register(TEXT5C, "sitemap_extract", _q_sitemap, _SITEMAP_SQL)
+
+
+# --------------------------------------------------------------------------
+# D8 hydrology (operators/hydrology.py) — the reference's namesake
+# domain (HAND rasters) computed in Catalyst. Shared DEM fixtures: the
+# 25x20 occupancy grid with closed-form integer elevation. The oracle
+# rebuilds the complete D8 argmax (steepest descent, the float-free
+# 2*drop^2-vs-drop^2 diagonal comparison, ESRI priority tie-break) and
+# the identical bounded recurrences.
+
+_DEM_GRID = "SELECT DISTINCT doc_id % 25 AS gx, (doc_id // 25) % 20 AS gy FROM documents"
+_VALLEY_SQL = "(gx - 12) * (gx - 12) + 3 * (19 - gy) + (gx * 7 + gy * 13) % 5"
+# plateau-rich noise: max D8 path length 6 on the 25x20 grid, so the
+# registered _ACC_ROUNDS = 8 is PAST the fixpoint (pytest-pinned)
+_NOISE_SQL = "(gx * 53 + gy * 71) % 13"
+_HAND_DRAIN = 3
+_HAND_J = 5
+_ACC_ROUNDS = 8
+
+
+def _dem_cells(spark, sf_dir, valley: bool):
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        (F.col("doc_id") % 25).alias("gx"),
+        F.expr("(doc_id DIV 25) % 20").alias("gy"),
+    ).distinct()
+    if valley:
+        elev = (
+            (F.col("gx") - 12) * (F.col("gx") - 12)
+            + F.lit(3) * (F.lit(19) - F.col("gy"))
+            + (F.col("gx") * 7 + F.col("gy") * 13) % 5
+        )
+    else:
+        elev = (F.col("gx") * 53 + F.col("gy") * 71) % 13
+    return g.select("gx", "gy", elev.cast("long").alias("elev"))
+
+
+def _d8_cte(elev_sql: str) -> str:
+    """CTE chain ending in relation ``flowdir``(gx, gy, elev, dir, tx, ty)."""
+    return f"""
+    cells AS ({_DEM_GRID}),
+    dem AS (SELECT gx, gy, CAST({elev_sql} AS BIGINT) AS elev FROM cells),
+    dirs AS (
+      SELECT * FROM (VALUES
+        (1, 0, 1, 2, 0), (1, -1, 2, 1, 1), (0, -1, 4, 2, 2),
+        (-1, -1, 8, 1, 3), (-1, 0, 16, 2, 4), (-1, 1, 32, 1, 5),
+        (0, 1, 64, 2, 6), (1, 1, 128, 1, 7)
+      ) AS d(dx, dy, code, mult, pri)
+    ),
+    cand AS (
+      SELECT a.gx, a.gy, a.elev,
+             (a.elev - b.elev) * (a.elev - b.elev) * d.mult AS rnk,
+             d.pri, d.code, b.gx AS ngx, b.gy AS ngy
+      FROM dem a JOIN dirs d ON TRUE
+      JOIN dem b ON b.gx = a.gx + d.dx AND b.gy = a.gy + d.dy
+      WHERE a.elev > b.elev
+    ),
+    best AS (
+      SELECT gx, gy, elev, code, ngx, ngy,
+             row_number() OVER (PARTITION BY gx, gy
+                                ORDER BY rnk DESC, pri ASC) AS rn
+      FROM cand
+    ),
+    flowdir AS (
+      SELECT gx, gy, elev, CAST(code AS BIGINT) AS dir,
+             ngx AS tx, ngy AS ty
+      FROM best WHERE rn = 1
+      UNION ALL
+      SELECT m.gx, m.gy, m.elev, CAST(0 AS BIGINT), m.gx, m.gy
+      FROM dem m
+      WHERE NOT EXISTS (SELECT 1 FROM cand c
+                        WHERE c.gx = m.gx AND c.gy = m.gy)
+    )"""
+
+
+def _q_d8_flow(spark, sf_dir):
+    from .operators.hydrology import d8_flow
+
+    return d8_flow(_dem_cells(spark, sf_dir, valley=True))
+
+
+_D8_SQL = f"""
+    WITH {_d8_cte(_VALLEY_SQL)}
+    SELECT gx, gy, elev, dir, tx, ty FROM flowdir
+    """
+
+_register(GEO5C, "d8_flow_dir", _q_d8_flow, _D8_SQL)
+
+
+def _q_flow_acc(spark, sf_dir):
+    from .operators.hydrology import d8_flow, flow_accumulation
+
+    return flow_accumulation(
+        d8_flow(_dem_cells(spark, sf_dir, valley=False)), _ACC_ROUNDS
+    )
+
+
+def _flow_acc_sql() -> str:
+    head = f"""
+    WITH {_d8_cte(_NOISE_SQL)},
+    e AS (SELECT gx, gy, tx, ty FROM flowdir WHERE dir > 0),
+    a0 AS (SELECT gx, gy, CAST(0 AS BIGINT) AS acc FROM dem)"""
+    parts = [head]
+    for k in range(1, _ACC_ROUNDS + 1):
+        parts.append(f""",
+    a{k} AS (
+      SELECT d.gx, d.gy, CAST(COALESCE(s.inflow, 0) AS BIGINT) AS acc
+      FROM dem d LEFT JOIN (
+        SELECT e.tx AS gx, e.ty AS gy, sum(p.acc + 1) AS inflow
+        FROM e JOIN a{k - 1} p ON p.gx = e.gx AND p.gy = e.gy
+        GROUP BY e.tx, e.ty
+      ) s ON s.gx = d.gx AND s.gy = d.gy
+    )""")
+    parts.append(f"\n    SELECT gx, gy, acc FROM a{_ACC_ROUNDS}\n    ")
+    return "".join(parts)
+
+
+_register(GEO5C, "flow_accumulation", _q_flow_acc, _flow_acc_sql())
+
+
+def _q_hand(spark, sf_dir):
+    from .operators.hydrology import d8_flow, hand_height
+
+    return hand_height(
+        d8_flow(_dem_cells(spark, sf_dir, valley=True)), _HAND_DRAIN, _HAND_J
+    )
+
+
+def _hand_sql() -> str:
+    head = f"""
+    WITH {_d8_cte(_VALLEY_SQL)},
+    n0 AS (
+      SELECT gx * 2097152 + gy AS c, gx, gy, elev,
+             elev <= {_HAND_DRAIN} AS drain,
+             CASE WHEN elev <= {_HAND_DRAIN} OR dir = 0
+                  THEN gx * 2097152 + gy
+                  ELSE tx * 2097152 + ty END AS nxt
+      FROM flowdir
+    ),
+    s0 AS (SELECT c, nxt AS r FROM n0)"""
+    parts = [head]
+    for j in range(1, _HAND_J + 1):
+        parts.append(f""",
+    s{j} AS (SELECT a.c, b.r FROM s{j - 1} a JOIN s{j - 1} b ON b.c = a.r)""")
+    parts.append(f"""
+    SELECT n.gx, n.gy, n.elev - d.elev AS hand
+    FROM s{_HAND_J} s
+    JOIN n0 n ON n.c = s.c
+    JOIN n0 d ON d.c = s.r AND d.drain
+    """)
+    return "".join(parts)
+
+
+_register(GEO5C, "hand_height", _q_hand, _hand_sql())

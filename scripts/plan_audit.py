@@ -562,6 +562,36 @@ def main() -> None:
         forbid=("Exchange", "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # D8 flow direction: one packed-key neighbor equi-join + max(struct)
+    # argmax — exact BIGINT slope ranks, zero Python
+    audit(
+        "d8_flow_dir",
+        _GEO5C["d8_flow_dir"],
+        expect=("ShuffledHashJoin", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # flow accumulation: per-round edge join + sum over checkpointed
+    # state (Scan ExistingRDD), last round declarative
+    audit(
+        "flow_accumulation",
+        _GEO5C["flow_accumulation"],
+        expect=("HashAggregate", "Scan ExistingRDD"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # HAND: pointer-doubling self-joins over the checkpointed
+    # next-pointer table — log-round path composition, no Python
+    audit(
+        "hand_height",
+        _GEO5C["hand_height"],
+        expect=("Scan ExistingRDD",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

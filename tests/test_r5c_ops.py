@@ -232,3 +232,128 @@ def test_oracle_parity(spark, con, key):
 
     fn = GEO5C.get(key) or TEXT5C[key]
     assert_match(fn(spark, SF), ORACLES5C[key], con, key)
+
+
+# ------------------------------------------------------------- hydrology
+
+
+_D8_DIRS = [
+    (1, 0, 1, True), (1, -1, 2, False), (0, -1, 4, True),
+    (-1, -1, 8, False), (-1, 0, 16, True), (-1, 1, 32, False),
+    (0, 1, 64, True), (1, 1, 128, False),
+]
+
+
+def _d8_py(cells: dict) -> dict:
+    """Brute-force D8 twin: cells {(gx,gy): elev} -> {(gx,gy): (dir,tx,ty)}."""
+    out = {}
+    for (gx, gy), e in cells.items():
+        best = None  # (rank, inv_pri, code, nx, ny)
+        for pri, (dx, dy, code, card) in enumerate(_D8_DIRS):
+            n = (gx + dx, gy + dy)
+            if n in cells and cells[n] < e:
+                drop = e - cells[n]
+                rank = drop * drop * (2 if card else 1)
+                key = (rank, 7 - pri, code, n[0], n[1])
+                if best is None or key > best:
+                    best = key
+        out[(gx, gy)] = (best[2], best[3], best[4]) if best else (0, gx, gy)
+    return out
+
+
+def test_d8_flow_matches_bruteforce(spark):
+    from hand_index_spark.operators.hydrology import d8_flow
+
+    cells = {(x, y): (x * 37 + y * 61) % 23 + ((x * y) % 3)
+             for x in range(7) for y in range(6)}
+    df = spark.createDataFrame(
+        [(x, y, e) for (x, y), e in cells.items()],
+        schema="gx long, gy long, elev long",
+    )
+    got = {(r["gx"], r["gy"]): (r["dir"], r["tx"], r["ty"])
+           for r in d8_flow(df).collect()}
+    assert got == _d8_py(cells)
+
+
+def test_d8_diagonal_beats_cardinal_by_slope(spark):
+    from hand_index_spark.operators.hydrology import d8_flow
+
+    # center elev 10; E neighbor drop 2 (slope 2), SE drop 3
+    # (slope 3/sqrt2 ~ 2.12) -> SE (code 2) must win: 2*2^2=8 < 3^2=9
+    rows = [(1, 1, 10), (2, 1, 8), (2, 0, 7), (0, 0, 99), (1, 0, 99),
+            (0, 1, 99), (0, 2, 99), (1, 2, 99), (2, 2, 99)]
+    df = spark.createDataFrame(rows, schema="gx long, gy long, elev long")
+    got = {(r["gx"], r["gy"]): r["dir"] for r in d8_flow(df).collect()}
+    assert got[(1, 1)] == 2
+
+
+def test_d8_equal_cardinal_drops_take_priority_order(spark):
+    from hand_index_spark.operators.hydrology import d8_flow
+
+    # E and S both drop 5 -> E (priority 0, code 1) wins
+    rows = [(1, 1, 10), (2, 1, 5), (1, 0, 5)]
+    df = spark.createDataFrame(rows, schema="gx long, gy long, elev long")
+    got = {(r["gx"], r["gy"]): r["dir"] for r in d8_flow(df).collect()}
+    assert got[(1, 1)] == 1
+
+
+def test_flow_accumulation_chain_and_fixpoint(spark):
+    from hand_index_spark.operators.hydrology import d8_flow, flow_accumulation
+
+    # strictly descending W->E chain: every cell flows E, acc = #upstream
+    rows = [(x, 0, 10 - x) for x in range(5)]
+    df = spark.createDataFrame(rows, schema="gx long, gy long, elev long")
+    flow = d8_flow(df)
+    got = {(r["gx"], r["gy"]): r["acc"]
+           for r in flow_accumulation(flow, 6).collect()}
+    assert got == {(0, 0): 0, (1, 0): 1, (2, 0): 2, (3, 0): 3, (4, 0): 4}
+    # rounds beyond the longest path change nothing
+    again = {(r["gx"], r["gy"]): r["acc"]
+             for r in flow_accumulation(flow, 8).collect()}
+    assert again == got
+
+
+def test_registered_flow_accumulation_is_at_fixpoint(spark):
+    from hand_index_spark.entry_queries_r5c import _ACC_ROUNDS, _dem_cells
+    from hand_index_spark.operators.hydrology import d8_flow, flow_accumulation
+
+    flow = d8_flow(_dem_cells(spark, SF, valley=False)).localCheckpoint(True)
+    a = flow_accumulation(flow, _ACC_ROUNDS).collect()
+    b = flow_accumulation(flow, _ACC_ROUNDS + 1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hand_pointer_doubling_long_path(spark):
+    from hand_index_spark.operators.hydrology import d8_flow, hand_height
+
+    # 9-step descending chain into a drainage cell (elev 0): J=2 (4
+    # hops) must NOT reach from the far end; J=4 (16 hops) reaches all
+    rows = [(x, 0, 9 - x) for x in range(10)]
+    df = spark.createDataFrame(rows, schema="gx long, gy long, elev long")
+    flow = d8_flow(df).localCheckpoint(True)
+    near = {(r["gx"], r["gy"]): r["hand"]
+            for r in hand_height(flow, 0, 2).collect()}
+    full = {(r["gx"], r["gy"]): r["hand"]
+            for r in hand_height(flow, 0, 4).collect()}
+    assert (0, 0) not in near and len(near) == 5  # cells within 4 hops
+    assert full == {(x, 0): 9 - x for x in range(10)}
+
+
+def test_hand_pit_basins_are_excluded(spark):
+    from hand_index_spark.operators.hydrology import d8_flow, hand_height
+
+    # two basins: left drains to elev-0 cell, right to a pit (elev 5)
+    rows = [(0, 0, 0), (1, 0, 3), (2, 0, 9), (3, 0, 8), (4, 0, 5)]
+    df = spark.createDataFrame(rows, schema="gx long, gy long, elev long")
+    got = {(r["gx"], r["gy"]): r["hand"]
+           for r in hand_height(d8_flow(df), 0, 3).collect()}
+    assert got == {(0, 0): 0, (1, 0): 3, (2, 0): 9}  # 2,0 flows W (tie rule)
+
+
+@pytest.mark.parametrize(
+    "key", ["d8_flow_dir", "flow_accumulation", "hand_height"]
+)
+def test_hydrology_oracle_parity(spark, con, key):
+    from hand_index_spark.entry_queries_r5c import GEO5C, ORACLES5C
+
+    assert_match(GEO5C[key](spark, SF), ORACLES5C[key], con, key)
