@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (157 queries as of round 5) and EVERY one carries a DuckDB
+SURVEY.md §2 (160 queries as of round 5) and EVERY one carries a DuckDB
 oracle — including the geo assignment (the tile grid is closed-form
 arithmetic, tables/tilegrid.py), the trig-bearing transforms (via
 discretization-safe comparisons), iterative graph clustering (via a
@@ -54,7 +54,7 @@ DRIVER_SAMPLE_ORDER = [
     "tile_assign", "tile_assign_joined", "spatial_join_generic",
     "knn_fallback", "cells_encode", "s2_cells", "albers_forward",
     "union_catchments", "overlap_refine", "roi_pip_filter",
-    "wkb_roundtrip", "raster_corners", "salted_histogram",
+    "wkb_roundtrip", "raster_corners", "hand_height",
     "simplify_ring", "quadkey_encode", "union_overlap",
     # storage / icelite DML + lineage + zone-map file skipping
     "partitioned_roundtrip", "icelite_merge", "lineage_counts",
