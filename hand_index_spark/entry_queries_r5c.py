@@ -587,3 +587,117 @@ def _hand_sql() -> str:
 
 
 _register(GEO5C, "hand_height", _q_hand, _hand_sql())
+
+
+# --------------------------------------------------------------------------
+# Kernel-density heatmap (Epanechnikov, bandwidth R on a G-spaced cell
+# lattice): density(c) = sum over points within R of (R^2 - d2) — all
+# exact BIGINT arithmetic. JOIN-FREE shape: each point explodes to its
+# bounded candidate-cell window (two nested sequences, <= (2R/G+1)^2
+# cells) and one hash aggregate sums the kernel weights — the plan is
+# Generate + HashAggregate with no join operator at all (plan-audited),
+# so it scales with points * kernel_support, never points^2.
+
+_KDE_G = 25
+_KDE_R = 100
+
+
+def _q_kde(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        ((F.col("doc_id") * 7919) % 2000 + 100).alias("px"),
+        ((F.col("doc_id") * 104729) % 2000 + 100).alias("py"),
+    )
+    g, r = _KDE_G, _KDE_R
+    cand = p.select(
+        "px",
+        "py",
+        F.expr(
+            f"explode(sequence((px - {r} + {g - 1}) DIV {g}, (px + {r}) DIV {g}))"
+        ).alias("cx"),
+    ).select(
+        "px",
+        "py",
+        "cx",
+        F.expr(
+            f"explode(sequence((py - {r} + {g - 1}) DIV {g}, (py + {r}) DIV {g}))"
+        ).alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("cx") * g) * (F.col("px") - F.col("cx") * g) + (
+        F.col("py") - F.col("cy") * g
+    ) * (F.col("py") - F.col("cy") * g)
+    return (
+        cand.where(d2 < r * r)
+        .groupBy("cx", "cy")
+        .agg(F.sum(F.lit(r * r) - d2).cast("long").alias("density"))
+    )
+
+
+_KDE_SQL = f"""
+    WITH p AS (
+      SELECT (doc_id * 7919) % 2000 + 100 AS px,
+             (doc_id * 104729) % 2000 + 100 AS py
+      FROM documents
+    ),
+    cand AS (
+      SELECT px, py, cx, cy
+      FROM p,
+           unnest(range((px - {_KDE_R} + {_KDE_G - 1}) // {_KDE_G},
+                        (px + {_KDE_R}) // {_KDE_G} + 1)) AS ux(cx),
+           unnest(range((py - {_KDE_R} + {_KDE_G - 1}) // {_KDE_G},
+                        (py + {_KDE_R}) // {_KDE_G} + 1)) AS uy(cy)
+    )
+    SELECT cx, cy,
+           CAST(sum({_KDE_R * _KDE_R} -
+                    ((px - cx * {_KDE_G}) * (px - cx * {_KDE_G})
+                     + (py - cy * {_KDE_G}) * (py - cy * {_KDE_G})))
+                AS BIGINT) AS density
+    FROM cand
+    WHERE (px - cx * {_KDE_G}) * (px - cx * {_KDE_G})
+        + (py - cy * {_KDE_G}) * (py - cy * {_KDE_G}) < {_KDE_R * _KDE_R}
+    GROUP BY cx, cy
+    """
+
+_register(GEO5C, "kde_heatmap", _q_kde, _KDE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Cohort retention over the events stream: cohort = user's first
+# activity week (epoch-week, offset-invariant — the engine's
+# epoch-cast idiom), cell = distinct users from that cohort active k
+# weeks later. Two keyed aggregates + one equi-join on user_id.
+
+
+def _q_cohort(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = e.select(
+        "user_id",
+        F.floor(
+            F.col("ts").cast("timestamp").cast("double") / F.lit(604800.0)
+        )
+        .cast("long")
+        .alias("week"),
+    )
+    first = w.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        w.join(first, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+    WITH w AS (
+      SELECT user_id,
+             CAST(floor(CAST(epoch(ts) AS DOUBLE) / 604800.0) AS BIGINT)
+               AS week
+      FROM events
+    ),
+    f AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id)
+    SELECT f.cohort, w.week - f.cohort AS weeks_since,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM w JOIN f ON w.user_id = f.user_id
+    GROUP BY f.cohort, w.week - f.cohort
+    """
+
+_register(TEXT5C, "cohort_retention", _q_cohort, _COHORT_SQL)

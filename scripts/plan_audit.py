@@ -592,6 +592,26 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # KDE heatmap: JOIN-FREE — candidate cells by bounded explode, one
+    # hash aggregate; any join node means the kernel window regressed
+    # to a points-x-cells join
+    audit(
+        "kde_heatmap",
+        _GEO5C["kde_heatmap"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
+    # cohort retention: two keyed aggregates + one equi-join
+    audit(
+        "cohort_retention",
+        _TEXT5C["cohort_retention"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

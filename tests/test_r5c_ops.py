@@ -357,3 +357,46 @@ def test_hydrology_oracle_parity(spark, con, key):
     from hand_index_spark.entry_queries_r5c import GEO5C, ORACLES5C
 
     assert_match(GEO5C[key](spark, SF), ORACLES5C[key], con, key)
+
+
+# -------------------------------------------------------- kde + cohort
+
+
+def test_kde_single_point_kernel_shape(spark):
+    from hand_index_spark.entry_queries_r5c import _KDE_G, _KDE_R
+
+    # one point at a cell center: its own cell weighs R^2, a cell G
+    # away weighs R^2 - G^2; outside R contributes nothing
+    df = spark.createDataFrame([(200, 200)], schema="px long, py long")
+    g, r = _KDE_G, _KDE_R
+    cand = df.select(
+        "px", "py",
+        F.expr(f"explode(sequence((px - {r} + {g - 1}) DIV {g}, (px + {r}) DIV {g}))").alias("cx"),
+    ).select(
+        "px", "py", "cx",
+        F.expr(f"explode(sequence((py - {r} + {g - 1}) DIV {g}, (py + {r}) DIV {g}))").alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("cx") * g) * (F.col("px") - F.col("cx") * g) + (
+        F.col("py") - F.col("cy") * g) * (F.col("py") - F.col("cy") * g)
+    got = {(rw["cx"], rw["cy"]): rw["density"]
+           for rw in cand.where(d2 < r * r).groupBy("cx", "cy")
+           .agg(F.sum(F.lit(r * r) - d2).cast("long").alias("density")).collect()}
+    assert got[(8, 8)] == r * r
+    assert got[(9, 8)] == r * r - g * g
+    assert (12, 8) not in got  # d = 4G = R exactly -> strict < excludes
+    # brute-force total: every in-range cell accounted for
+    want = {}
+    for cx in range(4, 13):
+        for cy in range(4, 13):
+            dd = (200 - cx * g) ** 2 + (200 - cy * g) ** 2
+            if dd < r * r:
+                want[(cx, cy)] = r * r - dd
+    assert got == want
+
+
+@pytest.mark.parametrize("key", ["kde_heatmap", "cohort_retention"])
+def test_kde_cohort_oracle_parity(spark, con, key):
+    from hand_index_spark.entry_queries_r5c import GEO5C, ORACLES5C, TEXT5C
+
+    fn = GEO5C.get(key) or TEXT5C[key]
+    assert_match(fn(spark, SF), ORACLES5C[key], con, key)
