@@ -701,3 +701,176 @@ _COHORT_SQL = """
     """
 
 _register(TEXT5C, "cohort_retention", _q_cohort, _COHORT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Trajectory path length: per-user great-circle track length over the
+# events stream. Segment distances are FLOOR whole meters (the sphere
+# discretize rule), so the per-user total is a sum of exact BIGINTs —
+# order-independent, zero float slack. One window (lag) + one
+# aggregate; ordering key (ts, event_id) is collision-proof.
+
+
+def _q_trajectory(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .geo.sphere import haversine_floor_meters
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(40000) + (F.col("event_id") * 991) % 3000).alias("lat"),
+        ((F.col("event_id") * 1637) % 4000 - 2000).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = pts.select(
+        "user_id",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        "lat",
+        "lon",
+    ).where(F.col("plat").isNotNull())
+    m = haversine_floor_meters(
+        F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(m).cast("long").alias("total_m"),
+    )
+
+
+def _trajectory_sql() -> str:
+    from .geo.sphere import haversine_floor_meters_sql
+
+    hav = haversine_floor_meters_sql("plat", "plon", "lat", "lon")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             40000 + (event_id * 991) % 3000 AS lat,
+             (event_id * 1637) % 4000 - 2000 AS lon
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS plat,
+             lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS plon,
+             lat, lon
+      FROM pts
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum({hav}) AS BIGINT) AS total_m
+    FROM seg WHERE plat IS NOT NULL
+    GROUP BY user_id
+    """
+
+
+_register(GEO5C, "trajectory_length", _q_trajectory, _trajectory_sql())
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+# scheme): 3-gram token hashes, window w=4, keep the RIGHTMOST minimal
+# gram per window, emit the distinct (position, fingerprint) set per
+# doc. Guarantee: any shared substring of >= w+k-1 tokens yields a
+# shared fingerprint. Spark side is pure WINDOW functions over the
+# exploded token stream — grams via two leads, rightmost-argmin via
+# max(struct(-v, i)) over a w-row following frame: no joins, no
+# higher-order functions (a nested-HOF draft re-derived the gram array
+# per element_at — the Catalyst lambda re-evaluation trap — and was
+# O(m^2 w); the window form is one partition-sort, streaming frames).
+# The oracle computes the same rightmost-min relationally (frame min +
+# argmax join) — an independent formulation of the same definition.
+
+_WIN_K = 3
+_WIN_W = 4
+_WIN_P = 1000003
+
+
+def _q_winnow(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.dedup import token_hash_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= _WIN_K + _WIN_W - 1
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("i", "tok")
+    ).select("doc_id", "i", token_hash_col(F.col("tok")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    grams = pos.select(
+        "doc_id",
+        "i",
+        (
+            (
+                F.col("h") * F.lit(961)
+                + F.lead("h", 1).over(w) * F.lit(31)
+                + F.lead("h", 2).over(w)
+            )
+            % F.lit(_WIN_P)
+        ).alias("v"),
+    ).where(F.col("v").isNotNull())
+    fr = w.rowsBetween(0, _WIN_W - 1)
+    sel = grams.select(
+        "doc_id",
+        # rightmost argmin: max of (-v, i) -> smallest v, then largest i
+        F.max(F.struct((-F.col("v")).alias("nv"), F.col("i").alias("i")))
+        .over(fr)
+        .alias("s"),
+        F.count("*").over(fr).alias("wn"),
+    ).where(F.col("wn") == _WIN_W)
+    return sel.select(
+        "doc_id",
+        F.col("s.i").cast("long").alias("pos"),
+        (-F.col("s.nv")).cast("long").alias("fp"),
+    ).distinct()
+
+
+def _winnow_sql() -> str:
+    from .operators.dedup import TOKEN_HASH_SQL
+
+    h = TOKEN_HASH_SQL.format(t="tok")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_WIN_K + _WIN_W - 1}
+    ),
+    hs AS (
+      SELECT doc_id, unnest(list_transform(t, tok -> {h})) AS h,
+             generate_subscripts(t, 1) AS i, len(t) AS n
+      FROM toks
+    ),
+    grams AS (
+      SELECT a.doc_id, a.i,
+             (a.h * 961 + b.h * 31 + c.h) % {_WIN_P} AS v,
+             a.n - {_WIN_K - 1} AS m
+      FROM hs a JOIN hs b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN hs c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    wins AS (
+      SELECT doc_id, i AS ws, m,
+             min(v) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS mv
+      FROM grams
+    ),
+    sel AS (
+      SELECT w.doc_id, w.ws, w.mv, max(g.i) AS rightmost
+      FROM wins w JOIN grams g
+        ON g.doc_id = w.doc_id AND g.i BETWEEN w.ws AND w.ws + {_WIN_W - 1}
+       AND g.v = w.mv
+      WHERE w.ws <= w.m - {_WIN_W - 1}
+      GROUP BY w.doc_id, w.ws, w.mv
+    )
+    SELECT DISTINCT doc_id, CAST(rightmost - 1 AS BIGINT) AS pos,
+           CAST(mv AS BIGINT) AS fp
+    FROM sel
+    """
+
+
+_register(TEXT5C, "winnow_fingerprints", _q_winnow, _winnow_sql())

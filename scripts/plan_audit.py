@@ -612,6 +612,26 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # trajectory length: one keyed window (lag) + one aggregate — no
+    # join in the plan at all
+    audit(
+        "trajectory_length",
+        _GEO5C["trajectory_length"],
+        expect=("Window", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
+    # winnowing: pure window pipeline (leads + frame max) over the
+    # exploded token stream — no join, no Python, no HOF lambdas
+    audit(
+        "winnow_fingerprints",
+        _TEXT5C["winnow_fingerprints"],
+        expect=("Window", "Generate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

@@ -400,3 +400,102 @@ def test_kde_cohort_oracle_parity(spark, con, key):
 
     fn = GEO5C.get(key) or TEXT5C[key]
     assert_match(fn(spark, SF), ORACLES5C[key], con, key)
+
+
+# -------------------------------------------------- trajectory + winnow
+
+
+def test_trajectory_length_hand_computed(spark):
+    from pyspark.sql import Window as W
+
+    from hand_index_spark.geo.sphere import haversine_floor_meters
+
+    rows = [(1, 0, 40000, 0), (1, 1, 40000, 1000), (1, 2, 41000, 1000),
+            (2, 0, 45000, 5000)]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, seq long, lat long, lon long"
+    )
+    w = W.partitionBy("user_id").orderBy("seq")
+    seg = df.select(
+        "user_id",
+        F.lag("lat").over(w).alias("plat"), F.lag("lon").over(w).alias("plon"),
+        "lat", "lon",
+    ).where(F.col("plat").isNotNull())
+    m = haversine_floor_meters(F.col("plat"), F.col("plon"),
+                               F.col("lat"), F.col("lon"))
+    got = {r["user_id"]: (r["n"], r["t"]) for r in seg.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum(m).alias("t")).collect()}
+    leg1 = math.floor(_hav_py(40.0, 0.0, 40.0, 1.0))
+    leg2 = math.floor(_hav_py(40.0, 1.0, 41.0, 1.0))
+    assert got[1][0] == 2
+    assert abs(got[1][1] - (leg1 + leg2)) <= 2  # <=1 ulp-floor slack per leg
+    assert 2 not in got  # single-point user: no segments
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    from hand_index_spark.entry_queries_r5c import _WIN_K, _WIN_W, _q_winnow
+
+    # the MOSS guarantee: a shared run of >= w+k-1 tokens yields at
+    # least one shared (fingerprint) value between the two docs
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+    import pandas as pd
+    import tempfile, os
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"one two {shared} three four",
+                 f"nine eight seven {shared} six",
+                 "totally different words everywhere in this document here"],
+        "lang": ["en", "en", "en"],
+    })
+    tmp = tempfile.mkdtemp(prefix="winnow_t_")
+    docs.to_parquet(os.path.join(tmp, "documents.parquet"))
+    out = _q_winnow(spark, tmp).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared substring produced no shared fingerprint"
+    assert not (fps[0] & fps[1] & fps[2])
+
+
+def test_winnowing_rightmost_min_convention(spark):
+    from hand_index_spark.entry_queries_r5c import TEXT5C
+
+    # every selected pos must be the RIGHTMOST index attaining the min
+    # in at least one w-window; verify against a python replay
+    from hand_index_spark.operators.dedup import token_hash_col  # noqa: F401
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    rows = con.sql(
+        "SELECT doc_id, string_split(text, ' ') AS t FROM documents LIMIT 5"
+    ).fetchall()
+    got = {}
+    for r in TEXT5C["winnow_fingerprints"](spark, SF).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    P, K, W_ = 1000003, 3, 4
+    def th(tok):
+        return (len(tok) * 2654435761 + ord(tok[0]) * 65599
+                + ord(tok[-1]) * 97) % 1000003
+    for doc_id, t in rows:
+        if len(t) < K + W_ - 1:
+            assert doc_id not in got
+            continue
+        h = [th(x) for x in t]
+        g = [(h[i] * 961 + h[i + 1] * 31 + h[i + 2]) % P
+             for i in range(len(h) - K + 1)]
+        want = set()
+        for j in range(len(g) - W_ + 1):
+            win = g[j:j + W_]
+            mv = min(win)
+            pos = j + max(k for k, v in enumerate(win) if v == mv)
+            want.add((pos, mv))
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+@pytest.mark.parametrize("key", ["trajectory_length", "winnow_fingerprints"])
+def test_traj_winnow_oracle_parity(spark, con, key):
+    from hand_index_spark.entry_queries_r5c import GEO5C, ORACLES5C, TEXT5C
+
+    fn = GEO5C.get(key) or TEXT5C[key]
+    assert_match(fn(spark, SF), ORACLES5C[key], con, key)
