@@ -874,3 +874,107 @@ def _winnow_sql() -> str:
 
 
 _register(TEXT5C, "winnow_fingerprints", _q_winnow, _winnow_sql())
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (Rabin-style CDC): boundaries where an
+# 8-char rolling hash hits H % 64 == 0, so chunk cuts survive inserts/
+# deletes (unlike fixed-size blocks) — the sub-document dedup
+# granularity storage systems and training-data pipelines use. Pure
+# window pipeline over the exploded char stream: 8 leads + step-wise
+# Horner mod (intermediates < P*257, no overflow), a running boundary
+# sum for chunk ids, then ONE equi-join back to documents to cut the
+# chunk text (substr) and sha-identify it. Identical formulation on
+# both engines.
+
+_CDC_B = 257
+_CDC_P = 1000003
+_CDC_W = 8
+_CDC_MOD = 64
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.posexplode(F.split("text", "")).alias("i", "ch")
+    ).select("doc_id", F.col("i").cast("long").alias("i"), F.ascii("ch").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    h = F.lead("c", _CDC_W - 1).over(w)
+    for j in range(_CDC_W - 2, -1, -1):
+        nxt = F.col("c") if j == 0 else F.lead("c", j).over(w)
+        h = (h * F.lit(_CDC_B) + nxt) % F.lit(_CDC_P)
+    hashed = chars.select("doc_id", "i", h.alias("h"))
+    flagged = hashed.select(
+        "doc_id",
+        "i",
+        F.when(
+            (F.col("i") > 0) & F.col("h").isNotNull()
+            & (F.col("h") % _CDC_MOD == 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    idx = flagged.select(
+        "doc_id", "i", F.sum("b").over(wrun).cast("long").alias("chunk_idx")
+    )
+    chunks = idx.groupBy("doc_id", "chunk_idx").agg(
+        F.min("i").alias("start"), F.count("*").cast("long").alias("ln")
+    )
+    return chunks.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        "ln",
+        F.sha2(
+            F.expr("substring(text, cast(start + 1 AS int), cast(ln AS int))"),
+            256,
+        ).alias("chunk_sha"),
+    )
+
+
+def _cdc_sql() -> str:
+    horner = f"lead(c, {_CDC_W - 1}) OVER win"
+    for j in range(_CDC_W - 2, -1, -1):
+        nxt = "c" if j == 0 else f"lead(c, {j}) OVER win"
+        horner = f"(({horner}) * {_CDC_B} + {nxt}) % {_CDC_P}"
+    return f"""
+    WITH chars AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+             ascii(unnest(string_split(text, ''))) AS c
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, i, {horner} AS h
+      FROM chars
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i > 0 AND h IS NOT NULL AND h % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM hashed
+    ),
+    idx AS (
+      SELECT doc_id, i,
+             CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS chunk_idx
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx, min(i) AS start,
+             CAST(count(*) AS BIGINT) AS ln
+      FROM idx GROUP BY doc_id, chunk_idx
+    )
+    SELECT c.doc_id, c.chunk_idx, c.start, c.ln,
+           sha256(substr(d.text, CAST(c.start + 1 AS INT),
+                         CAST(c.ln AS INT))) AS chunk_sha
+    FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+    """
+
+
+_register(TEXT5C, "cdc_chunks", _q_cdc_chunks, _cdc_sql())

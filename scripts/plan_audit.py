@@ -632,6 +632,16 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    # CDC chunking: window pipeline over the char stream + ONE equi-join
+    # back to documents for the substr cut — no cross product, no Python
+    audit(
+        "cdc_chunks",
+        _TEXT5C["cdc_chunks"],
+        expect=("Window", "Generate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

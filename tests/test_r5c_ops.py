@@ -499,3 +499,49 @@ def test_traj_winnow_oracle_parity(spark, con, key):
 
     fn = GEO5C.get(key) or TEXT5C[key]
     assert_match(fn(spark, SF), ORACLES5C[key], con, key)
+
+
+# ------------------------------------------------------------------ cdc
+
+
+def test_cdc_chunks_resync_after_insert(spark):
+    # THE content-defined property: inserting one char shifts every
+    # fixed-size block, but CDC boundaries re-sync — the two docs must
+    # share at least one identical chunk sha after the insertion point
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from hand_index_spark.entry_queries_r5c import _q_cdc_chunks
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while seventeen crawlers index forty two pages of dense text "
+            "covering geography hydrology and tokenization at scale with "
+            "deterministic integer arithmetic everywhere in the pipeline")
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [base, "X" + base],
+        "lang": ["en", "en"],
+    })
+    tmp = tempfile.mkdtemp(prefix="cdc_t_")
+    docs.to_parquet(os.path.join(tmp, "documents.parquet"))
+    rows = _q_cdc_chunks(spark, tmp).collect()
+    shas = {0: set(), 1: set()}
+    for r in rows:
+        shas[r["doc_id"]].add(r["chunk_sha"])
+    assert shas[0] & shas[1], "CDC failed to re-sync after a 1-char insert"
+    # coverage invariant: chunk lengths tile the text exactly
+    ln = {0: 0, 1: 0}
+    for r in rows:
+        ln[r["doc_id"]] += r["ln"]
+    assert ln[0] == len(base) and ln[1] == len(base) + 1
+
+
+def test_cdc_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5c import ORACLES5C, TEXT5C
+
+    assert_match(
+        TEXT5C["cdc_chunks"](spark, SF), ORACLES5C["cdc_chunks"], con,
+        "cdc_chunks",
+    )
