@@ -978,3 +978,96 @@ def _cdc_sql() -> str:
 
 
 _register(TEXT5C, "cdc_chunks", _q_cdc_chunks, _cdc_sql())
+
+
+# --------------------------------------------------------------------------
+# Sparse lexical similarity: TF-IDF cosine pairs through a df-capped
+# inverted-index self-join — the classic postings-join shape (and the
+# lexical complement of the dense embedding ANN family). Weights are
+# INTEGER: w = tf * (1000000 // df) (quantized idf), so dots and norms
+# are exact BIGINTs in any order, and the cosine threshold
+# cos >= 0.3 becomes the integer test 100*dot^2 >= 9*na2*nb2
+# (evaluated in decimal/HUGEINT — no float anywhere). The df <= cap
+# prune bounds every posting list (the 100x lever: join fanout is
+# sum(df^2) over KEPT tokens, never corpus^2) and drops stopwords for
+# free.
+
+_TFIDF_DF_CAP = 50
+_TFIDF_SCALE = 1_000_000
+
+
+def _q_tfidf_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(df_.where(F.col("df") <= _TFIDF_DF_CAP), "tok")
+        .select(
+            "tok",
+            "doc_id",
+            (F.col("tf") * F.expr(f"{_TFIDF_SCALE} DIV df")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    a = w.select(F.col("tok"), F.col("doc_id").alias("a"), F.col("w").alias("wa"))
+    b = w.select(F.col("tok"), F.col("doc_id").alias("b"), F.col("w").alias("wb"))
+    dots = (
+        a.hint("shuffle_hash")
+        .join(b, "tok")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("n2").alias("nb2"))
+    dec = "decimal(38,0)"
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .where(
+            F.lit(100).cast(dec) * F.col("dot").cast(dec) * F.col("dot").cast(dec)
+            >= F.lit(9).cast(dec) * F.col("na2").cast(dec) * F.col("nb2").cast(dec)
+        )
+        .select("a", "b", "dot", "na2", "nb2")
+    )
+
+
+_TFIDF_SQL = f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT tf.tok, tf.doc_id,
+             tf.tf * ({_TFIDF_SCALE} // dfr.df) AS w
+      FROM tf JOIN dfr ON dfr.tok = tf.tok
+      WHERE dfr.df <= {_TFIDF_DF_CAP}
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON b.tok = a.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.a, d.b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.a
+    JOIN norms nb ON nb.doc_id = d.b
+    WHERE 100 * CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT)
+          >= 9 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+    """
+
+_register(TEXT5C, "tfidf_cosine_pairs", _q_tfidf_pairs, _TFIDF_SQL)

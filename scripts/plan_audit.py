@@ -642,6 +642,17 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # TF-IDF cosine pairs: df-capped postings self-join (shuffled hash
+    # on the token key) + exact-integer threshold — no cross product,
+    # no Python
+    audit(
+        "tfidf_cosine_pairs",
+        _TEXT5C["tfidf_cosine_pairs"],
+        expect=("ShuffledHashJoin", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

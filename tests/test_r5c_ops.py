@@ -545,3 +545,38 @@ def test_cdc_oracle_parity(spark, con):
         TEXT5C["cdc_chunks"](spark, SF), ORACLES5C["cdc_chunks"], con,
         "cdc_chunks",
     )
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def test_tfidf_pairs_planted_near_duplicates(spark):
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from hand_index_spark.entry_queries_r5c import _q_tfidf_pairs
+
+    # docs 0/1 share rare vocabulary (cos ~ 1), doc 2 is disjoint
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["zephyr quasar nebulae photon entropy",
+                 "zephyr quasar nebulae photon vortex",
+                 "apple banana cherry mango papaya"],
+        "lang": ["en"] * 3,
+    })
+    tmp = tempfile.mkdtemp(prefix="tfidf_t_")
+    docs.to_parquet(os.path.join(tmp, "documents.parquet"))
+    got = {(r["a"], r["b"]) for r in _q_tfidf_pairs(spark, tmp).collect()}
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+
+
+def test_tfidf_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5c import ORACLES5C, TEXT5C
+
+    assert_match(
+        TEXT5C["tfidf_cosine_pairs"](spark, SF),
+        ORACLES5C["tfidf_cosine_pairs"], con, "tfidf_cosine_pairs",
+    )
