@@ -1071,3 +1071,86 @@ _TFIDF_SQL = f"""
     """
 
 _register(TEXT5C, "tfidf_cosine_pairs", _q_tfidf_pairs, _TFIDF_SQL)
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (operators/graph.k_core): synchronous peeling,
+# k=3, 8 rounds. Fixture: the ring graph (every node degree 4 — a true
+# 3-core) plus a 10-node pendant path anchored to the ring whose peel
+# CASCADES inward one hop per round (~5 rounds; 8 is past the
+# fixpoint, pytest-pinned). The oracle unrolls the identical peel.
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _q_kcore(spark, sf_dir):
+    from .operators.graph import k_core
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    ring = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("s"),
+        )
+        .withColumn("dst", (F.col("src") + F.col("s")) % F.lit(n))
+        .select("src", "dst")
+    )
+    path = d.where(F.col("doc_id") < 9).select(
+        (F.col("doc_id") + F.lit(n)).alias("src"),
+        (F.col("doc_id") + F.lit(n) + 1).alias("dst"),
+    )
+    anchors = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(n)).alias("src"),
+        (F.col("doc_id") * 37 % F.lit(n)).alias("dst"),
+    )
+    return k_core(ring.union(path).union(anchors), _KCORE_K, _KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    head = f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (doc_id + s) % (SELECT n FROM nn) AS dst
+      FROM documents, unnest([1, 2]) AS u(s)
+      UNION ALL
+      SELECT doc_id + (SELECT n FROM nn) AS src,
+             doc_id + (SELECT n FROM nn) + 1 AS dst
+      FROM documents WHERE doc_id < 9
+      UNION ALL
+      SELECT doc_id + (SELECT n FROM nn) AS src,
+             (doc_id * 37) % (SELECT n FROM nn) AS dst
+      FROM documents WHERE doc_id < 10
+    ),
+    u0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    )"""
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs at
+    # parse time, and u{r} references u{r-1} five times (direct + the
+    # two IN subqueries through k/d) -> 5^rounds expansion without it
+    parts = [head]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+    d{r} AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM u{r - 1}
+        UNION ALL SELECT b AS node FROM u{r - 1}
+      ) GROUP BY node
+    ),
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+    u{r} AS MATERIALIZED (
+      SELECT a, b FROM u{r - 1}
+      WHERE a IN (SELECT node FROM k{r}) AND b IN (SELECT node FROM k{r})
+    )""")
+    parts.append(f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      SELECT a AS node FROM u{_KCORE_ROUNDS}
+      UNION ALL SELECT b AS node FROM u{_KCORE_ROUNDS}
+    ) GROUP BY node HAVING count(*) >= {_KCORE_K}
+    """)
+    return "".join(parts)
+
+
+_register(TEXT5C, "kcore_nodes", _q_kcore, _kcore_sql())

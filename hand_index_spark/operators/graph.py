@@ -123,6 +123,47 @@ def sssp_rounds(
     return dist
 
 
+def k_core(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-core by ``rounds`` of synchronous peeling: canonicalize
+    ``edges``(src, dst) to distinct undirected pairs, then repeatedly
+    drop every node whose remaining degree is < ``k`` (all such nodes
+    in a round peel together; cascades propagate one hop per round).
+    Returns the surviving (node, deg) — the true k-core once ``rounds``
+    covers the longest peel cascade (tests pin the fixpoint).
+
+    Per round: one degree aggregate + two semi-joins to trim the edge
+    list — work shrinks with the surviving graph; per-round
+    localCheckpoint, final round declarative (engine-wide rules)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for r in range(rounds):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .union(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        und = und.join(
+            keep.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+        if r < rounds - 1:
+            und = und.localCheckpoint(eager=True)
+    return (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .where(F.col("deg") >= k)
+    )
+
+
 def bfs_levels(
     edges: DataFrame, seeds: DataFrame, max_hops: int
 ) -> DataFrame:

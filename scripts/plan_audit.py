@@ -653,6 +653,16 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # k-core: per-round degree agg + two LEFT-SEMI trims over the
+    # checkpointed edge list — no cross product, no Python
+    audit(
+        "kcore_nodes",
+        _TEXT5C["kcore_nodes"],
+        expect=("HashAggregate", "Scan ExistingRDD"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

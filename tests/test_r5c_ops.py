@@ -580,3 +580,40 @@ def test_tfidf_oracle_parity(spark, con):
         TEXT5C["tfidf_cosine_pairs"](spark, SF),
         ORACLES5C["tfidf_cosine_pairs"], con, "tfidf_cosine_pairs",
     )
+
+
+# ---------------------------------------------------------------- kcore
+
+
+def test_k_core_peels_pendant_cascade(spark):
+    from hand_index_spark.operators.graph import k_core
+
+    # K4 (a true 3-core) + pendant path 4-5-6 anchored at node 0:
+    # 6 peels r1 (deg 1), 5 peels r2, 4 peels r3 -> K4 survives intact
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(0, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    got = {r["node"]: r["deg"] for r in k_core(df, 3, 5).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # too few rounds: the cascade hasn't reached node 4 yet, and the
+    # half-open last round leaves 0-4 trimmed but 4 not yet re-checked
+    partial = {r["node"] for r in k_core(df, 3, 1).collect()}
+    assert partial >= {0, 1, 2, 3}
+
+
+def test_registered_kcore_is_ring_only_at_fixpoint(spark, con):
+    from hand_index_spark.entry_queries_r5c import TEXT5C
+
+    rows = TEXT5C["kcore_nodes"](spark, SF).collect()
+    n = 500  # sf0.01 documents
+    assert len(rows) == n  # exactly the ring; all 10 path nodes peeled
+    assert all(r["deg"] == 4 and r["node"] < n for r in rows)
+
+
+def test_kcore_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5c import ORACLES5C, TEXT5C
+
+    assert_match(
+        TEXT5C["kcore_nodes"](spark, SF), ORACLES5C["kcore_nodes"], con,
+        "kcore_nodes",
+    )
