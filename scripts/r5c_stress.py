@@ -183,15 +183,101 @@ def stress_hand(spark):
     }))
 
 
+def stress_textops(spark):
+    """Winnowing / CDC / TF-IDF at ~100-400x the 500-doc fixture, on
+    synthesized closed-form corpora (no external data)."""
+    import hand_index_spark.entry_queries_r5c as R
+
+    # --- winnowing: 100k docs x 40 tokens = 4M token rows
+    n_docs = 100_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.concat(
+                    F.lit("w"), ((F.col("id") * 37 + j * 101) % 9973).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="r5c_text_")
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    t0 = time.monotonic()
+    n_fp = R._q_winnow(spark, tmp).count()
+    w_wall = time.monotonic() - t0
+    print(json.dumps({
+        "stress": "winnow_100k_docs", "docs": n_docs, "token_rows": n_docs * 40,
+        "fingerprints": n_fp, "wall_s": round(w_wall, 2),
+        "docs_per_s": int(n_docs / w_wall),
+    }))
+
+    # --- CDC: 30k docs (~250 chars each = 7.5M char rows)
+    n_cdc = 30_000
+    cdocs = spark.range(n_cdc).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.concat(
+                    F.lit("tok"), ((F.col("id") * 61 + j * 17) % 4999).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    tmp2 = tempfile.mkdtemp(prefix="r5c_cdc_")
+    cdocs.write.mode("overwrite").parquet(f"{tmp2}/documents.parquet")
+    t0 = time.monotonic()
+    row = R._q_cdc_chunks(spark, tmp2).agg(
+        F.count("*").alias("chunks"), F.sum("ln").alias("chars")
+    ).collect()[0]
+    c_wall = time.monotonic() - t0
+    print(json.dumps({
+        "stress": "cdc_30k_docs", "docs": n_cdc, "char_rows": int(row["chars"]),
+        "chunks": int(row["chunks"]), "wall_s": round(c_wall, 2),
+        "chars_per_s": int(row["chars"] / c_wall),
+    }))
+
+    # --- TF-IDF pairs: 100k docs, 1M-term vocab (df ~ 4 under the cap)
+    tdocs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.concat(
+                    F.lit("t"),
+                    ((F.col("id") * 40 + j) * 2654435761 % 1000003).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    tmp3 = tempfile.mkdtemp(prefix="r5c_tfidf_")
+    tdocs.write.mode("overwrite").parquet(f"{tmp3}/documents.parquet")
+    t0 = time.monotonic()
+    n_pairs = R._q_tfidf_pairs(spark, tmp3).count()
+    t_wall = time.monotonic() - t0
+    print(json.dumps({
+        "stress": "tfidf_100k_docs", "docs": n_docs,
+        "pairs_over_threshold": n_pairs, "wall_s": round(t_wall, 2),
+        "docs_per_s": int(n_docs / t_wall),
+    }))
+
+
 def main() -> None:
     spark = get_spark(app_name="r5c_stress")
     spark.sparkContext.setLogLevel("ERROR")
-    which = sys.argv[1:] or ["geodesic", "triangles", "kde", "hand"]
+    which = sys.argv[1:] or ["geodesic", "triangles", "kde", "hand", "textops"]
     fns = {
         "geodesic": stress_geodesic,
         "triangles": stress_triangles,
         "kde": stress_kde,
         "hand": stress_hand,
+        "textops": stress_textops,
     }
     for k in which:
         fns[k](spark)
