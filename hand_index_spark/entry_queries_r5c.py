@@ -1154,3 +1154,78 @@ def _kcore_sql() -> str:
 
 
 _register(TEXT5C, "kcore_nodes", _q_kcore, _kcore_sql())
+
+
+# --------------------------------------------------------------------------
+# DBSCAN (operators/cluster.py): eps-neighborhoods from the grid
+# distance-band join, cores by degree, clusters by min-label
+# components over CORE-CORE edges, borders attached to their minimum
+# core neighbor (the deterministic convention that makes distributed
+# DBSCAN a pure function of the point set). Oracle replays the O(n^2)
+# neighborhoods + a recursive-CTE closure.
+
+_DBSCAN_EPS = 80
+_DBSCAN_MINPTS = 3
+_DBSCAN_SPAN = 2000
+
+
+def _q_dbscan(spark, sf_dir):
+    from .operators.cluster import dbscan
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") % 100003) * 7919 % _DBSCAN_SPAN).alias("px"),
+        ((F.col("doc_id") % 99991) * 104729 % _DBSCAN_SPAN).alias("py"),
+    )
+    return dbscan(pts, "id", "px", "py", _DBSCAN_EPS, _DBSCAN_MINPTS)
+
+
+_DBSCAN_SQL = f"""
+    WITH RECURSIVE pts AS (
+      SELECT doc_id AS id,
+             ((doc_id % 100003) * 7919) % {_DBSCAN_SPAN} AS px,
+             ((doc_id % 99991) * 104729) % {_DBSCAN_SPAN} AS py
+      FROM documents
+    ),
+    p AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE (a.px - b.px) * (a.px - b.px)
+          + (a.py - b.py) * (a.py - b.py) <= {_DBSCAN_EPS * _DBSCAN_EPS}
+    ),
+    sym AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+    cnt AS (SELECT a AS id, count(*) + 1 AS n FROM sym GROUP BY a),
+    core AS (
+      SELECT pts.id FROM pts LEFT JOIN cnt ON cnt.id = pts.id
+      WHERE coalesce(cnt.n, 1) >= {_DBSCAN_MINPTS}
+    ),
+    ce AS (
+      SELECT s.a, s.b FROM sym s
+      WHERE s.a IN (SELECT id FROM core) AND s.b IN (SELECT id FROM core)
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM ce
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a AND r.a != e.b
+    ),
+    lbl AS (
+      SELECT c.id, least(c.id, coalesce(min(r.b), c.id)) AS cluster_id
+      FROM core c LEFT JOIN reach r ON r.a = c.id
+      GROUP BY c.id
+    ),
+    borders AS (
+      SELECT s.a AS id, min(s.b) AS attach FROM sym s
+      WHERE s.b IN (SELECT id FROM core)
+        AND s.a NOT IN (SELECT id FROM core)
+      GROUP BY s.a
+    )
+    SELECT id, CAST(cluster_id AS BIGINT) AS cluster_id, 'core' AS role
+    FROM lbl
+    UNION ALL
+    SELECT b.id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           'border' AS role
+    FROM borders b JOIN lbl l ON l.id = b.attach
+    """
+
+_register(GEO5C, "dbscan_clusters", _q_dbscan, _DBSCAN_SQL)

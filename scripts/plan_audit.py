@@ -663,6 +663,17 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # DBSCAN: grid band join for neighborhoods, degree agg, semi-join
+    # core trims, checkpointed component rounds — no cross product, no
+    # Python
+    audit(
+        "dbscan_clusters",
+        _GEO5C["dbscan_clusters"],
+        expect=("HashAggregate", "Scan ExistingRDD"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

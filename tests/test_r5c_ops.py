@@ -617,3 +617,50 @@ def test_kcore_oracle_parity(spark, con):
         TEXT5C["kcore_nodes"](spark, SF), ORACLES5C["kcore_nodes"], con,
         "kcore_nodes",
     )
+
+
+# --------------------------------------------------------------- dbscan
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    from hand_index_spark.operators.cluster import dbscan
+
+    # blob A: 4 points in a tight square; blob B: 4 points far away;
+    # one isolated noise point; one border point near blob A only
+    rows = [(0, 0, 0), (1, 0, 2), (2, 2, 0), (3, 2, 2),        # blob A
+            (10, 100, 100), (11, 100, 102), (12, 102, 100), (13, 102, 102),
+            (20, 50, 50),                                       # noise
+            (30, 0, 5)]                                         # border of A
+    df = spark.createDataFrame(rows, schema="id long, px long, py long")
+    out = {r["id"]: (r["cluster_id"], r["role"])
+           for r in dbscan(df, "id", "px", "py", 3, 3).collect()}
+    assert all(out[i] == (0, "core") for i in range(4))
+    assert all(out[i] == (10, "core") for i in (10, 11, 12, 13))
+    assert 20 not in out                       # noise omitted
+    assert out[30] == (0, "border")            # attaches to min core nbr
+    # border point is NOT core (only 2-neighborhood incl self)
+
+
+def test_dbscan_border_attaches_to_min_core_neighbor(spark):
+    from hand_index_spark.operators.cluster import dbscan
+
+    # border point 99 within eps of ONE core from each of two
+    # clusters (too few neighbors to be core itself at min_pts=4):
+    # pinned to the minimum core neighbor id (deterministic convention)
+    rows = [(0, 0, 0), (1, 0, 1), (2, 1, 0), (3, 1, 1),      # cluster 0
+            (10, 7, 0), (11, 7, 1), (12, 8, 0), (13, 8, 1),  # cluster 10
+            (99, 4, 0)]  # nbrs: core 2 (d=3) and core 10 (d=3) + self = 3
+    df = spark.createDataFrame(rows, schema="id long, px long, py long")
+    out = {r["id"]: (r["cluster_id"], r["role"])
+           for r in dbscan(df, "id", "px", "py", 3, 4).collect()}
+    assert out[99] == (0, "border")  # min core neighbor is 2 -> cluster 0
+    assert out[0][0] == 0 and out[10][0] == 10
+
+
+def test_dbscan_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5c import GEO5C, ORACLES5C
+
+    assert_match(
+        GEO5C["dbscan_clusters"](spark, SF), ORACLES5C["dbscan_clusters"],
+        con, "dbscan_clusters",
+    )
