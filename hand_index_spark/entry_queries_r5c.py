@@ -1229,3 +1229,77 @@ _DBSCAN_SQL = f"""
     """
 
 _register(GEO5C, "dbscan_clusters", _q_dbscan, _DBSCAN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Streaming geofence (geo x streaming crossover): a stream of geotagged
+# events filtered by an exact integer PIP against a convex fence
+# polygon (four CCW half-plane cross products — all BIGINT, the
+# engine's PIP idiom), then windowed per day/type. File-stream source +
+# availableNow + complete memory sink equals the batch aggregate — the
+# engine-wide streaming-oracle pattern.
+
+_FENCE = [(-10000, 41000), (-2000, 40000), (0, 44000), (-8000, 45000)]
+
+
+def _fence_conds(lon: str, lat: str) -> list[str]:
+    conds = []
+    n = len(_FENCE)
+    for i in range(n):
+        x1, y1 = _FENCE[i]
+        x2, y2 = _FENCE[(i + 1) % n]
+        conds.append(
+            f"({x2} - {x1}) * (({lat}) - {y1})"
+            f" - ({y2} - {y1}) * (({lon}) - {x1}) >= 0"
+        )
+    return conds
+
+
+def _q_stream_geofence(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="stream_fence_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    pts = stream.withColumn(
+        "lat", F.lit(40000) + (F.col("event_id") * 991) % 6000
+    ).withColumn("lon", (F.col("event_id") * 1637) % 12000 - 11000)
+    inside = pts.where(F.expr(" AND ".join(_fence_conds("lon", "lat"))))
+    agg = (
+        inside.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_inside"))
+    )
+    name = f"stream_geofence_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _geofence_sql() -> str:
+    conds = " AND ".join(_fence_conds("lon", "lat"))
+    return f"""
+    WITH pts AS (
+      SELECT ts, event_type,
+             40000 + (event_id * 991) % 6000 AS lat,
+             (event_id * 1637) % 12000 - 11000 AS lon
+      FROM events
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_inside
+    FROM pts WHERE {conds}
+    GROUP BY 1, 2
+    """
+
+
+_register(GEO5C, "stream_geofence", _q_stream_geofence, _geofence_sql())

@@ -664,3 +664,28 @@ def test_dbscan_oracle_parity(spark, con):
         GEO5C["dbscan_clusters"](spark, SF), ORACLES5C["dbscan_clusters"],
         con, "dbscan_clusters",
     )
+
+
+# ------------------------------------------------------ stream geofence
+
+
+def test_stream_geofence_parity_and_nontrivial(spark, con):
+    from hand_index_spark.entry_queries_r5c import GEO5C, ORACLES5C
+
+    df = GEO5C["stream_geofence"](spark, SF)
+    rows = df.collect()
+    total = sum(r["n_inside"] for r in rows)
+    assert 0 < total < 10000  # fence keeps a strict, non-empty subset
+    assert_match(df, ORACLES5C["stream_geofence"], con, "stream_geofence")
+
+
+def test_fence_polygon_is_convex_ccw():
+    from hand_index_spark.entry_queries_r5c import _FENCE
+
+    n = len(_FENCE)
+    for i in range(n):
+        x1, y1 = _FENCE[i]
+        x2, y2 = _FENCE[(i + 1) % n]
+        x3, y3 = _FENCE[(i + 2) % n]
+        cross = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+        assert cross > 0  # strictly convex, CCW -> half-planes valid
