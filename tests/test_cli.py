@@ -87,3 +87,33 @@ def test_ann_index_cli_build_query_resume(spark, tmp_path):
     out2 = ann_index_main.main(argv, spark=spark)
     assert out2["built"] == {}  # resumed
     assert out2["topk"] == out["topk"]  # served from the persisted index
+
+
+def test_hand_raster_cli_end_to_end(spark, tmp_path):
+    from hand_index_spark.cli import hand_raster_main
+    from hand_index_spark.tables.icelite import IceliteTable
+
+    # 32x32 tilted-plane DEM: every cell's D8 path descends to (0,0)
+    dem = str(tmp_path / "dem.parquet")
+    spark.range(32 * 32).selectExpr(
+        "id % 32 AS gx", "id DIV 32 AS gy", "id % 32 + (id DIV 32) * 32 AS elev"
+    ).write.parquet(dem)
+    root = str(tmp_path / "hand")
+    out = hand_raster_main.main(
+        ["--dem-parquet", dem, "--output-dir", root,
+         "--drain-max-elev", "0", "--doublings", "6", "--acc-rounds", "4"],
+        spark=spark,
+    )
+    assert set(out) == {"flow_dir", "flow_accum", "hand"}
+    hand = IceliteTable(root, "hand").read(spark)
+    rows = {(r["gx"], r["gy"]): r["hand"] for r in hand.collect()}
+    # 2^6 = 64 >= the 62-step max path: every cell reaches (0,0), and
+    # on this plane HAND == elev exactly
+    assert len(rows) == 32 * 32
+    assert all(h == gx + gy * 32 for (gx, gy), h in rows.items())
+    acc = IceliteTable(root, "flow_accum").read(spark)
+    # corner (0,0) is everyone's sink but acc is 4-round-bounded: its
+    # count equals cells within 4 hops upstream (exact per the oracle
+    # semantics); just require monotone nonzero inflow at the sink
+    sink = [r["acc"] for r in acc.collect() if (r["gx"], r["gy"]) == (0, 0)]
+    assert sink and sink[0] > 0
