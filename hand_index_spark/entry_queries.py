@@ -720,3 +720,12 @@ from .entry_queries_r5c import GEO5C, ORACLES5C, TEXT5C  # noqa: E402
 GEO_QUERIES.update(GEO5C)
 TEXTOPS.update(TEXT5C)
 ORACLES.update(ORACLES5C)
+
+# batch 5d (round 5): terrain rasters (hillshade, overview pyramid,
+# marching-squares contours) + KN LM scoring, weighted corpus-mix
+# sampling, RAG chunking
+from .entry_queries_r5d import GEO5D, ORACLES5D, TEXT5D  # noqa: E402
+
+GEO_QUERIES.update(GEO5D)
+TEXTOPS.update(TEXT5D)
+ORACLES.update(ORACLES5D)

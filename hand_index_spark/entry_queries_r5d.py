@@ -1,0 +1,465 @@
+"""Round-5d registry batch: terrain raster operators (Horn hillshade,
+overview pyramids, marching-squares contour extraction) and three
+LLM-pipeline text stages (Kneser-Ney LM scoring, weighted corpus-mix
+sampling, RAG chunking).
+
+Same contract as every other batch: each query is (a) an idiomatic
+Spark program over the driver's parquet tables and (b) a DuckDB oracle
+with identical column names and arithmetic. The terrain fixtures share
+one closed-form integer DEM derived from ``documents.doc_id`` (25-wide
+grid, z in 0..96); float work is confined to correctly-rounded IEEE
+ops (sqrt, /, floor — bit-identical across engines from the identical
+expression tree; see operators/terrain.py) plus the lm_score-style
+round-4dp rule for the one ln() aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+GEO5D: dict = {}
+TEXT5D: dict = {}
+ORACLES5D: dict[str, str] = {}
+
+
+def _register(reg: dict, name: str, fn, oracle: str | None) -> None:
+    reg[name] = fn
+    if oracle is not None:
+        ORACLES5D[name] = oracle
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Shared integer DEM grid: doc_id -> (gx, gy) on a 25-wide grid with a
+# closed-form surface z in 0..96. Pure integer arithmetic, exact on
+# both engines; the oracle rebuilds neighborhoods by JOIN (not by
+# re-evaluating the formula at offsets) so cell existence mirrors the
+# table exactly at any scale factor.
+
+_GRID_W = 25
+
+_DEM_CELLS_SQL = f"""
+    SELECT doc_id % {_GRID_W} AS gx,
+           doc_id // {_GRID_W} AS gy,
+           (3 * (doc_id % {_GRID_W}) + 5 * (doc_id // {_GRID_W})
+            + ((doc_id % {_GRID_W}) * (doc_id // {_GRID_W})) % 7
+            + ((doc_id % {_GRID_W}) * (doc_id % {_GRID_W})) % 11) % 97 AS elev
+    FROM documents
+"""
+
+
+def _dem_cells(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    gx = F.col("doc_id") % _GRID_W
+    gy = F.floor(F.col("doc_id") / _GRID_W).cast("long")
+    return d.select(
+        gx.alias("gx"),
+        gy.alias("gy"),
+        (
+            (
+                F.lit(3) * gx
+                + F.lit(5) * gy
+                + (gx * gy) % 7
+                + (gx * gx) % 11
+            )
+            % 97
+        ).alias("elev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Horn hillshade + aspect octant (operators/terrain.py): one
+# neighbor-key shuffle join, kernel folded into two weighted sums; the
+# sun vector is integer so shade needs only sqrt//floor — every op
+# correctly rounded, hence bit-identical doubles on both engines, no
+# trig discretization slack.
+
+
+def _q_hillshade(spark, sf_dir):
+    from .operators.terrain import hillshade_cells
+
+    return hillshade_cells(_dem_cells(spark, sf_dir))
+
+
+def _hillshade_sql() -> str:
+    from .operators.terrain import hillshade_sql, octant_sql
+
+    return f"""
+    WITH cells AS ({_DEM_CELLS_SQL}),
+    nb AS (
+        SELECT c.gx AS gx, c.gy AS gy,
+               CAST(sum((n.gx - c.gx) * (2 - abs(n.gy - c.gy)) * n.elev)
+                    AS BIGINT) AS dzdx8,
+               CAST(sum((n.gy - c.gy) * (2 - abs(n.gx - c.gx)) * n.elev)
+                    AS BIGINT) AS dzdy8,
+               count(*) AS n
+        FROM cells c
+        JOIN cells n
+          ON n.gx BETWEEN c.gx - 1 AND c.gx + 1
+         AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
+         AND NOT (n.gx = c.gx AND n.gy = c.gy)
+        GROUP BY c.gx, c.gy
+    )
+    SELECT gx, gy, dzdx8, dzdy8,
+           dzdx8 * dzdx8 + dzdy8 * dzdy8 AS slope_sq,
+           CAST(({octant_sql('dzdx8', 'dzdy8')}) AS INT) AS octant,
+           {hillshade_sql('dzdx8', 'dzdy8')} AS shade_micro
+    FROM nb WHERE n = 8
+    """
+
+
+_register(GEO5D, "hillshade_stats", _q_hillshade, _hillshade_sql())
+
+
+# --------------------------------------------------------------------------
+# Overview pyramid (operators/terrain.py): levels 1-3 of 2x-block
+# reductions carrying BIGINT-exact sum/cnt/min/max. Spark computes the
+# pyramid HIERARCHICALLY (level L reduces level L-1 — at 10^12 cells
+# the naive per-level base rescan reads the table L times); the oracle
+# reduces the base directly per level, which must agree exactly since
+# integer sum/min/max compose.
+
+
+def _q_overviews(spark, sf_dir):
+    from .operators.terrain import overview_pyramid
+
+    return overview_pyramid(_dem_cells(spark, sf_dir), levels=3)
+
+
+_OVR_LEVEL_SQL = """
+        SELECT CAST({lvl} AS INT) AS lvl,
+               gx // {blk} AS gx, gy // {blk} AS gy,
+               CAST(sum(elev) AS BIGINT) AS z_sum,
+               count(*) AS z_cnt,
+               min(elev) AS z_min, max(elev) AS z_max
+        FROM cells GROUP BY gx // {blk}, gy // {blk}
+"""
+
+_register(
+    GEO5D,
+    "raster_overviews",
+    _q_overviews,
+    f"""
+    WITH cells AS ({_DEM_CELLS_SQL})
+    {_OVR_LEVEL_SQL.format(lvl=1, blk=2)}
+    UNION ALL {_OVR_LEVEL_SQL.format(lvl=2, blk=4)}
+    UNION ALL {_OVR_LEVEL_SQL.format(lvl=3, blk=8)}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Marching-squares contour extraction at z = 48 (operators/terrain.py)
+# — full raster->vector isolines (the reference only vectorizes
+# footprints). Segment endpoints are linear interpolations along
+# crossed edges, emitted as floor(1000 * coord): the single division
+# is correctly rounded, so the milli-coordinates are engine-exact.
+
+_CONTOUR_T = 48
+
+
+def _q_contours(spark, sf_dir):
+    from .operators.terrain import contour_segments
+
+    return contour_segments(_dem_cells(spark, sf_dir), _CONTOUR_T)
+
+
+def _contour_sql() -> str:
+    t = _CONTOUR_T
+    # seg 0 edge pairs per case (operators/terrain.py CASE_SEGMENTS)
+    e1_0 = {1: 3, 2: 0, 3: 3, 4: 1, 5: 3, 6: 0, 7: 3, 8: 2, 9: 0, 10: 0,
+            11: 1, 12: 3, 13: 0, 14: 3}
+    e2_0 = {1: 0, 2: 1, 3: 1, 4: 2, 5: 0, 6: 2, 7: 2, 8: 3, 9: 2, 10: 1,
+            11: 2, 12: 1, 13: 1, 14: 0}
+
+    def case_expr(m):
+        arms = " ".join(f"WHEN {k} THEN {v}" for k, v in m.items())
+        return f"CASE ms_case {arms} END"
+
+    def coord(axis, e):
+        # edge crossing coordinate, same op tree as the Spark column:
+        # gx_double + (T_double - za_double) / CAST(zb - za AS DOUBLE)
+        exprs = {
+            ("x", 0): f"CAST(gx AS DOUBLE) + ({t}.0 - CAST(z00 AS DOUBLE))"
+                      " / CAST(z10 - z00 AS DOUBLE)",
+            ("x", 1): "CAST(gx AS DOUBLE) + 1.0",
+            ("x", 2): f"CAST(gx AS DOUBLE) + ({t}.0 - CAST(z01 AS DOUBLE))"
+                      " / CAST(z11 - z01 AS DOUBLE)",
+            ("x", 3): "CAST(gx AS DOUBLE)",
+            ("y", 0): "CAST(gy AS DOUBLE)",
+            ("y", 1): f"CAST(gy AS DOUBLE) + ({t}.0 - CAST(z10 AS DOUBLE))"
+                      " / CAST(z11 - z10 AS DOUBLE)",
+            ("y", 2): "CAST(gy AS DOUBLE) + 1.0",
+            ("y", 3): f"CAST(gy AS DOUBLE) + ({t}.0 - CAST(z00 AS DOUBLE))"
+                      " / CAST(z01 - z00 AS DOUBLE)",
+        }
+        return exprs[(axis, e)]
+
+    def mil(axis, edge_sel):
+        arms = " ".join(
+            f"WHEN {e} THEN CAST(floor(1000.0 * ({coord(axis, e)})) AS BIGINT)"
+            for e in range(4)
+        )
+        return f"CASE {edge_sel} {arms} END"
+
+    seg0_cases = ",".join(str(c) for c in sorted(e1_0))
+    return f"""
+    WITH cells AS ({_DEM_CELLS_SQL}),
+    sq AS (
+        SELECT c.gx AS gx, c.gy AS gy, c.elev AS z00, r.elev AS z10,
+               u.elev AS z01, d.elev AS z11
+        FROM cells c
+        JOIN cells r ON r.gx = c.gx + 1 AND r.gy = c.gy
+        JOIN cells u ON u.gx = c.gx AND u.gy = c.gy + 1
+        JOIN cells d ON d.gx = c.gx + 1 AND d.gy = c.gy + 1
+    ),
+    cased AS (
+        SELECT *, CAST(
+            (CASE WHEN z00 >= {t} THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN z10 >= {t} THEN 1 ELSE 0 END)
+            + 4 * (CASE WHEN z11 >= {t} THEN 1 ELSE 0 END)
+            + 8 * (CASE WHEN z01 >= {t} THEN 1 ELSE 0 END) AS INT) AS ms_case
+        FROM sq
+    ),
+    segs AS (
+        SELECT gx, gy, ms_case, z00, z10, z01, z11,
+               CAST(0 AS INT) AS seg_idx,
+               CAST({case_expr(e1_0)} AS INT) AS e1,
+               CAST({case_expr(e2_0)} AS INT) AS e2
+        FROM cased WHERE ms_case IN ({seg0_cases})
+        UNION ALL
+        SELECT gx, gy, ms_case, z00, z10, z01, z11,
+               CAST(1 AS INT) AS seg_idx,
+               CAST(CASE ms_case WHEN 5 THEN 1 WHEN 10 THEN 2 END AS INT)
+                 AS e1,
+               CAST(CASE ms_case WHEN 5 THEN 2 WHEN 10 THEN 3 END AS INT)
+                 AS e2
+        FROM cased WHERE ms_case IN (5, 10)
+    )
+    SELECT gx, gy, ms_case, seg_idx, e1, e2,
+           {mil('x', 'e1')} AS x1_mil,
+           {mil('y', 'e1')} AS y1_mil,
+           {mil('x', 'e2')} AS x2_mil,
+           {mil('y', 'e2')} AS y2_mil
+    FROM segs
+    """
+
+
+_register(GEO5D, "contour_segments", _q_contours, _contour_sql())
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (the production LM-filter
+# smoothing, vs lm_score's add-one): discount D = 0.75 (exactly
+# representable), continuation probability from bigram-type counts.
+# P(w2|w1) = (max(c12 - D, 0) + D * n1f(w1) * (n1b(w2) / T)) / c1
+# with n1f = distinct followers of w1, n1b = distinct predecessors of
+# w2, T = total distinct bigram types. All counts integer-exact; the
+# per-doc mean of ln() terms rounds to 4dp (lm_score's float rule).
+
+
+def _q_kneser_ney(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i + 1).alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    fwd = bc.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    back = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = bc.agg(F.count(F.lit(1)).alias("tt"))
+    p = (
+        F.greatest(F.col("c2") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75) * F.col("n1f") * (F.col("n1b") / F.col("tt"))
+    ) / F.col("c1")
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(fwd, "w1")
+        .join(back, "w2")
+        .crossJoin(types)
+        .withColumn("logp", F.log(p))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("logp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )
+
+
+_register(
+    TEXT5D,
+    "kneser_ney_score",
+    _q_kneser_ney,
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> struct_pack(w1 := t[i],
+                                                      w2 := t[i + 1]))) AS b
+        FROM toks
+    ), bi AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi0
+    ), bc AS (
+        SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+    ), fwd AS (
+        SELECT w1, count(*) AS n1f FROM bc GROUP BY w1
+    ), back AS (
+        SELECT w2, count(*) AS n1b FROM bc GROUP BY w2
+    ), types AS (
+        SELECT count(*) AS tt FROM bc
+    )
+    SELECT bi.doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln((greatest(bc.c2 - 0.75, 0.0)
+                         + 0.75 * fwd.n1f * (back.n1b / types.tt))
+                        / ctx.c1)) / count(*), 4) AS avg_logprob
+    FROM bi
+    JOIN bc ON bc.w1 = bi.w1 AND bc.w2 = bi.w2
+    JOIN ctx ON ctx.w1 = bi.w1
+    JOIN fwd ON fwd.w1 = bi.w1
+    JOIN back ON back.w2 = bi.w2
+    CROSS JOIN types
+    GROUP BY bi.doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Weighted corpus-mix sampling (priority sampling, Duffield et al.):
+# per-language mix weights, deterministic hash uniform u, keep the
+# k = 200 docs with the smallest u / w. The Spark plan is
+# sort-limit -> TakeOrderedAndProject (per-partition top-k + driver
+# merge of k rows), NOT a single-partition global window — the 100 TB
+# shape. The one division is correctly rounded -> identical order on
+# both engines; doc_id breaks exact rational ties.
+
+_MIX_K = 200
+_MIX_W = "CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 4 WHEN 'es' THEN 3 WHEN 'de' THEN 2 ELSE 1 END"
+
+
+def _q_weighted_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "en", 5)
+        .when(F.col("lang") == "zh", 4)
+        .when(F.col("lang") == "es", 3)
+        .when(F.col("lang") == "de", 2)
+        .otherwise(1)
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)
+    wd = d.select(
+        "doc_id",
+        "lang",
+        u.alias("u"),
+        w.cast("long").alias("w"),
+    ).withColumn("pr", F.col("u").cast("double") / F.col("w"))
+    return (
+        wd.orderBy("pr", "doc_id")
+        .limit(_MIX_K)
+        .select(
+            "doc_id",
+            "lang",
+            "u",
+            "w",
+            F.floor(F.lit(1000000.0) * F.col("pr")).cast("long").alias("pr_micro"),
+        )
+    )
+
+
+_register(
+    TEXT5D,
+    "weighted_sample_mix",
+    _q_weighted_sample,
+    f"""
+    WITH wdocs AS (
+        SELECT doc_id, lang,
+               (doc_id * 2654435761) % 1000003 AS u,
+               CAST({_MIX_W} AS BIGINT) AS w
+        FROM documents
+    ), ranked AS (
+        SELECT *, CAST(u AS DOUBLE) / w AS pr,
+               row_number() OVER (ORDER BY CAST(u AS DOUBLE) / w, doc_id)
+                 AS rk
+        FROM wdocs
+    )
+    SELECT doc_id, lang, u, w,
+           CAST(floor(1000000.0 * pr) AS BIGINT) AS pr_micro
+    FROM ranked WHERE rk <= {_MIX_K}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# RAG chunking: overlapping token windows (size 40, stride 30) with a
+# per-chunk content sha — the retrieval-corpus prep stage. Pure
+# Catalyst (sequence of window starts -> explode -> slice); the oracle
+# replays it with list_slice. sha256 hex agrees across engines.
+
+_CHUNK_W, _CHUNK_S = 40, 30
+
+
+def _q_text_chunks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - F.lit(1), F.lit(_CHUNK_S))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, _CHUNK_W)
+    return starts.select(
+        "doc_id",
+        F.expr(f"start div {_CHUNK_S}").cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.element_at(chunk, 1).alias("first_tok"),
+        F.element_at(chunk, F.size(chunk)).alias("last_tok"),
+        F.sha2(F.array_join(chunk, " "), 256).alias("chunk_sha"),
+    )
+
+
+_register(
+    TEXT5D,
+    "text_chunks",
+    _q_text_chunks,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t), 1), {_CHUNK_S})) AS start
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, start,
+               list_slice(t, start + 1, start + {_CHUNK_W}) AS c
+        FROM starts
+    )
+    SELECT doc_id,
+           start // {_CHUNK_S} AS chunk_idx,
+           CAST(len(c) AS INT) AS n_tokens,
+           c[1] AS first_tok,
+           c[len(c)] AS last_tok,
+           sha256(array_to_string(c, ' ')) AS chunk_sha
+    FROM chunks
+    """,
+)

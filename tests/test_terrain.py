@@ -1,0 +1,316 @@
+"""Round-5d terrain + text-stage operators: Horn hillshade, overview
+pyramid, marching-squares contours, Kneser-Ney scoring, weighted-mix
+sampling, RAG chunking — brute-force/closed-form kernel checks, plan
+audits (no cartesian products, no Python stages), and full oracle
+parity for every registered query."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from tests.compare_util import assert_match, duck_con
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF)
+    yield c
+    c.close()
+
+
+def _grid_df(spark, z):
+    """(H, W) int array -> cells DataFrame."""
+    rows = [
+        (int(x), int(y), int(z[y, x]))
+        for y in range(z.shape[0])
+        for x in range(z.shape[1])
+    ]
+    return spark.createDataFrame(rows, schema="gx long, gy long, elev long")
+
+
+# ---------------------------------------------------------------- hillshade
+
+
+def _horn_py(z, x, y):
+    """Brute-force Horn 8x derivatives at interior (x, y); z[y, x]."""
+    a, b, c = z[y + 1, x - 1], z[y + 1, x], z[y + 1, x + 1]  # NW N NE
+    d, f = z[y, x - 1], z[y, x + 1]  # W E
+    g, h, i = z[y - 1, x - 1], z[y - 1, x], z[y - 1, x + 1]  # SW S SE
+    dzdx8 = (c + 2 * f + i) - (a + 2 * d + g)
+    dzdy8 = (a + 2 * b + c) - (g + 2 * h + i)
+    return int(dzdx8), int(dzdy8)
+
+
+def test_hillshade_matches_bruteforce(spark):
+    from hand_index_spark.operators.terrain import SUN, hillshade_cells
+
+    rng = np.random.default_rng(7)
+    z = rng.integers(0, 97, size=(6, 7)).astype(np.int64)
+    out = {
+        (r["gx"], r["gy"]): r
+        for r in hillshade_cells(_grid_df(spark, z)).collect()
+    }
+    assert len(out) == (7 - 2) * (6 - 2)  # interior only
+    sx, sy, sz = SUN
+    s_norm = math.sqrt(sx * sx + sy * sy + sz * sz)
+    for y in range(1, 5):
+        for x in range(1, 6):
+            dzdx8, dzdy8 = _horn_py(z, x, y)
+            r = out[(x, y)]
+            assert r["dzdx8"] == dzdx8 and r["dzdy8"] == dzdy8
+            assert r["slope_sq"] == dzdx8 * dzdx8 + dzdy8 * dzdy8
+            shade = (8 * sz - sx * dzdx8 - sy * dzdy8) / (
+                math.sqrt(float(dzdx8 * dzdx8 + dzdy8 * dzdy8 + 64)) * s_norm
+            )
+            assert r["shade_micro"] == math.floor(1e6 * shade)
+
+
+def test_hillshade_flat_plane_and_octants(spark):
+    from hand_index_spark.operators.terrain import hillshade_cells
+
+    # constant surface: zero gradient, octant 8 (flat), shade =
+    # 16 / (8 * sqrt(6)) scaled
+    z = np.full((4, 4), 42, dtype=np.int64)
+    rows = hillshade_cells(_grid_df(spark, z)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r["dzdx8"], r["dzdy8"], r["octant"]) == (0, 0, 8)
+        assert r["shade_micro"] == math.floor(1e6 * 16 / (8 * math.sqrt(6)))
+    # east-rising ramp z = x: dzdx8 = 8 -> downslope vector (-8, 0),
+    # theta = 180 deg -> sector 3 ((135, 180])
+    zx = np.fromfunction(lambda y, x: x, (4, 4), dtype=np.int64)
+    for r in hillshade_cells(_grid_df(spark, zx)).collect():
+        assert (r["dzdx8"], r["dzdy8"], r["octant"]) == (8, 0, 3)
+    # north-rising ramp (gy north): downslope (0, -8), theta = 270 deg
+    # -> sector 5 ((225, 270])
+    zy = np.fromfunction(lambda y, x: y, (4, 4), dtype=np.int64)
+    for r in hillshade_cells(_grid_df(spark, zy)).collect():
+        assert (r["dzdx8"], r["dzdy8"], r["octant"]) == (0, 8, 5)
+
+
+# ---------------------------------------------------------------- overviews
+
+
+def test_overview_pyramid_matches_direct(spark):
+    from hand_index_spark.operators.terrain import overview_pyramid
+
+    rng = np.random.default_rng(11)
+    z = rng.integers(0, 255, size=(9, 13)).astype(np.int64)  # ragged dims
+    got = {
+        (r["lvl"], r["gx"], r["gy"]): (r["z_sum"], r["z_cnt"], r["z_min"], r["z_max"])
+        for r in overview_pyramid(_grid_df(spark, z), levels=3).collect()
+    }
+    want = {}
+    for lvl in (1, 2, 3):
+        blk = 1 << lvl
+        acc: dict = {}
+        for y in range(9):
+            for x in range(13):
+                k = (lvl, x // blk, y // blk)
+                s, c, mn, mx = acc.get(k, (0, 0, 10**9, -(10**9)))
+                v = int(z[y, x])
+                acc[k] = (s + v, c + 1, min(mn, v), max(mx, v))
+        want.update(acc)
+    assert got == want
+
+
+# ---------------------------------------------------------- marching squares
+
+
+def _ms_bruteforce(z, t):
+    """Independent marching-squares implementation (dict-driven, same
+    published case table) -> set of output rows."""
+    segs_by_case = {
+        0: [], 1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+        5: [(3, 0), (1, 2)], 6: [(0, 2)], 7: [(3, 2)], 8: [(2, 3)],
+        9: [(0, 2)], 10: [(0, 1), (2, 3)], 11: [(1, 2)], 12: [(3, 1)],
+        13: [(0, 1)], 14: [(3, 0)], 15: [],
+    }
+    out = set()
+    H, W = z.shape
+    for y in range(H - 1):
+        for x in range(W - 1):
+            z00, z10 = int(z[y, x]), int(z[y, x + 1])
+            z01, z11 = int(z[y + 1, x]), int(z[y + 1, x + 1])
+            case = (
+                (z00 >= t) + 2 * (z10 >= t) + 4 * (z11 >= t) + 8 * (z01 >= t)
+            )
+
+            def pt(e):
+                if e == 0:
+                    return (x + (t - z00) / (z10 - z00), float(y))
+                if e == 1:
+                    return (x + 1.0, y + (t - z10) / (z11 - z10))
+                if e == 2:
+                    return (x + (t - z01) / (z11 - z01), y + 1.0)
+                return (float(x), y + (t - z00) / (z01 - z00))
+
+            for i, (e1, e2) in enumerate(segs_by_case[case]):
+                (x1, y1), (x2, y2) = pt(e1), pt(e2)
+                out.add(
+                    (x, y, case, i, e1, e2,
+                     math.floor(1000 * x1), math.floor(1000 * y1),
+                     math.floor(1000 * x2), math.floor(1000 * y2))
+                )
+    return out
+
+
+def test_contours_match_bruteforce(spark):
+    from hand_index_spark.operators.terrain import contour_segments
+
+    rng = np.random.default_rng(3)
+    z = rng.integers(0, 97, size=(8, 9)).astype(np.int64)
+    t = 48
+    got = {
+        (r["gx"], r["gy"], r["ms_case"], r["seg_idx"], r["e1"], r["e2"],
+         r["x1_mil"], r["y1_mil"], r["x2_mil"], r["y2_mil"])
+        for r in contour_segments(_grid_df(spark, z), t).collect()
+    }
+    assert got == _ms_bruteforce(z, t)
+    assert got  # non-trivial fixture actually crosses the isoline
+
+
+def test_contours_saddle_rule_separate_corners(spark):
+    from hand_index_spark.operators.terrain import contour_segments
+
+    # case 5: z00, z11 above; z10, z01 below -> two segments keeping
+    # the inside corners separate: (3,0) and (1,2)
+    z = np.array([[100, 0], [0, 100]], dtype=np.int64)
+    rows = contour_segments(_grid_df(spark, z), 48).collect()
+    assert sorted((r["e1"], r["e2"]) for r in rows) == [(1, 2), (3, 0)]
+    assert {r["ms_case"] for r in rows} == {5}
+    # case 10 mirrors it
+    z10 = np.array([[0, 100], [100, 0]], dtype=np.int64)
+    rows = contour_segments(_grid_df(spark, z10), 48).collect()
+    assert sorted((r["e1"], r["e2"]) for r in rows) == [(0, 1), (2, 3)]
+
+
+def test_contours_closed_loop_around_peak(spark):
+    from hand_index_spark.operators.terrain import contour_segments
+
+    # single peak in a flat plain: the isoline is one closed loop ->
+    # 4 segments forming a diamond with endpoints meeting edge-to-edge
+    z = np.zeros((3, 3), dtype=np.int64)
+    z[1, 1] = 100
+    rows = contour_segments(_grid_df(spark, z), 50).collect()
+    assert len(rows) == 4
+    pts: dict = {}
+    for r in rows:
+        for p in [(r["x1_mil"], r["y1_mil"]), (r["x2_mil"], r["y2_mil"])]:
+            pts[p] = pts.get(p, 0) + 1
+    # closed loop: every vertex is shared by exactly two segments
+    assert set(pts.values()) == {2}
+
+
+# ------------------------------------------------------------- plan audits
+
+
+def test_terrain_plans_are_scale_safe(spark):
+    from hand_index_spark.entry_queries_r5d import GEO5D, TEXT5D
+
+    for key in ("hillshade_stats", "raster_overviews", "contour_segments",
+                "weighted_sample_mix", "text_chunks"):
+        fn = GEO5D.get(key) or TEXT5D[key]
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoop" not in plan, key
+        assert "EvalPython" not in plan, key
+    # the weighted sample must be a distributed TakeOrdered, not a
+    # single-partition global sort/window
+    plan = TEXT5D["weighted_sample_mix"](spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # kneser_ney's only nested-loop is the 1-row scalar broadcast of
+    # total bigram types (the lm_score shape): allow it, forbid a
+    # cartesian
+    plan = TEXT5D["kneser_ney_score"](spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ oracle parity
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "hillshade_stats",
+        "raster_overviews",
+        "contour_segments",
+        "kneser_ney_score",
+        "weighted_sample_mix",
+        "text_chunks",
+    ],
+)
+def test_oracle_parity(spark, con, key):
+    from hand_index_spark.entry_queries_r5d import GEO5D, ORACLES5D, TEXT5D
+
+    fn = GEO5D.get(key) or TEXT5D[key]
+    assert_match(fn(spark, SF), ORACLES5D[key], con, key)
+
+
+# --------------------------------------------------------------- KN kernel
+
+
+def test_kneser_ney_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    from hand_index_spark.entry_queries_r5d import _q_kneser_ney
+
+    # tiny corpus with known counts: "a b a b" + "a c"
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b a b", "a c"],
+         "lang": ["en", "en"], "source": ["s", "s"], "n_chars": [7, 3]}
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in _q_kneser_ney(spark, str(tmp_path)).collect()}
+    # bigrams: (a,b) x2, (b,a) x1, (a,c) x1 -> T = 3 types
+    # c1(a) = 3, c1(b) = 1; n1f(a) = 2, n1f(b) = 1
+    # n1b(b) = 1, n1b(a) = 1, n1b(c) = 1
+    D = 0.75
+    T = 3
+
+    def p(c12, c1, n1f, n1b):
+        return (max(c12 - D, 0.0) + D * n1f * (n1b / T)) / c1
+
+    p_ab = p(2, 3, 2, 1)
+    p_ba = p(1, 1, 1, 1)
+    p_ac = p(1, 3, 2, 1)
+    exp0 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    exp1 = round(math.log(p_ac), 4)
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["avg_logprob"] - exp0) < 1e-9
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["avg_logprob"] - exp1) < 1e-9
+
+
+def test_text_chunks_windows_and_overlap(spark, tmp_path):
+    import pandas as pd
+
+    from hand_index_spark.entry_queries_r5d import _q_text_chunks
+
+    toks = [f"t{i}" for i in range(75)]
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1], "text": [" ".join(toks), "solo"],
+         "lang": ["en", "en"], "source": ["s", "s"],
+         "n_chars": [len(" ".join(toks)), 4]}
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = {(r["doc_id"], r["chunk_idx"]): r
+            for r in _q_text_chunks(spark, str(tmp_path)).collect()}
+    # 75 tokens, window 40, stride 30 -> starts 0, 30, 60
+    assert {k for k in rows if k[0] == 0} == {(0, 0), (0, 1), (0, 2)}
+    assert rows[(0, 0)]["n_tokens"] == 40
+    assert (rows[(0, 0)]["first_tok"], rows[(0, 0)]["last_tok"]) == ("t0", "t39")
+    assert rows[(0, 1)]["n_tokens"] == 40
+    assert (rows[(0, 1)]["first_tok"], rows[(0, 1)]["last_tok"]) == ("t30", "t69")
+    assert rows[(0, 2)]["n_tokens"] == 15
+    assert (rows[(0, 2)]["first_tok"], rows[(0, 2)]["last_tok"]) == ("t60", "t74")
+    # overlap: chunk 1 re-covers t30..t39
+    assert rows[(1, 0)]["n_tokens"] == 1
+    assert rows[(1, 0)]["first_tok"] == "solo"
