@@ -674,6 +674,60 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # round-5d terrain + text stages
+    from hand_index_spark.entry_queries_r5d import (  # noqa: E402
+        GEO5D as _GEO5D,
+        TEXT5D as _TEXT5D,
+    )
+
+    # hillshade: ONE neighbor-key shuffled hash join + kernel-folded
+    # aggregate — no broadcast of the grid, no cross product, no Python
+    audit(
+        "hillshade_stats",
+        _GEO5D["hillshade_stats"],
+        expect=("ShuffledHashJoin", "HashAggregate", "Generate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # overview pyramid: pure hierarchical aggregates — zero joins
+    audit(
+        "raster_overviews",
+        _GEO5D["raster_overviews"],
+        expect=("HashAggregate", "Union"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
+    # marching squares: one shuffled corner-assembly join + explode of
+    # the per-case segment array — no cross product, no Python
+    audit(
+        "contour_segments",
+        _GEO5D["contour_segments"],
+        expect=("ShuffledHashJoin", "Generate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # weighted corpus-mix sample: distributed top-k, not a
+    # single-partition global sort or window
+    audit(
+        "weighted_sample_mix",
+        _TEXT5D["weighted_sample_mix"],
+        expect=("TakeOrderedAndProject",),
+        forbid=("Window", "Sort ", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
+    # RAG chunking: explode + slice, no joins, no Python
+    audit(
+        "text_chunks",
+        _TEXT5D["text_chunks"],
+        expect=("Generate",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
