@@ -463,3 +463,96 @@ _register(
     FROM chunks
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Map matching (operators/mapmatch.py): snap each geotagged page to the
+# nearest road segment within R = 800 grid meters. Grid candidate join
+# (segments explode to R-expanded-bbox cells, one shuffled-hash
+# equi-join), exact rational refine (num/len2 BIGINTs), argmin by the
+# correctly-rounded double num/len2 with seg_id tiebreak — the oracle
+# replays the identical arithmetic over the brute-force pair set.
+
+_SNAP_R = 800
+_SNAP_NSEG = 80
+
+
+def _snap_segments(spark):
+    s = F.col("id")
+    return spark.range(_SNAP_NSEG).select(
+        s.alias("seg_id"),
+        ((s * 2711) % 9001).alias("x1"),
+        ((s * 3571) % 9001).alias("y1"),
+        ((s * 2711) % 9001 + 500 + (s * 97) % 1500).alias("x2"),
+        ((s * 3571) % 9001 + (s * 131) % 2400 - 1200).alias("y2"),
+    )
+
+
+def _q_snap_points(spark, sf_dir):
+    from .operators.mapmatch import snap_to_segments
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select(
+        F.col("doc_id").alias("p_id"),
+        ((F.col("doc_id") * 7919) % 10001).alias("px"),
+        ((F.col("doc_id") * 104729) % 10001).alias("py"),
+    )
+    return snap_to_segments(pts, _snap_segments(spark), _SNAP_R)
+
+
+_register(
+    GEO5D,
+    "snap_points",
+    _q_snap_points,
+    f"""
+    WITH pts AS (
+        SELECT doc_id AS p_id,
+               (doc_id * 7919) % 10001 AS px,
+               (doc_id * 104729) % 10001 AS py
+        FROM documents
+    ), segs AS (
+        SELECT s AS seg_id,
+               (s * 2711) % 9001 AS x1, (s * 3571) % 9001 AS y1,
+               (s * 2711) % 9001 + 500 + (s * 97) % 1500 AS x2,
+               (s * 3571) % 9001 + (s * 131) % 2400 - 1200 AS y2
+        FROM range(0, {_SNAP_NSEG}) t(s)
+    ), cand AS (
+        SELECT p.p_id, s.seg_id, s.x1, s.y1, s.x2, s.y2,
+               (s.x2 - s.x1) * (s.x2 - s.x1)
+                 + (s.y2 - s.y1) * (s.y2 - s.y1) AS len2,
+               (p.px - s.x1) * (s.x2 - s.x1)
+                 + (p.py - s.y1) * (s.y2 - s.y1) AS dot,
+               (p.px - s.x1) * (p.px - s.x1)
+                 + (p.py - s.y1) * (p.py - s.y1) AS w2,
+               (p.px - s.x2) * (p.px - s.x2)
+                 + (p.py - s.y2) * (p.py - s.y2) AS v2
+        FROM pts p CROSS JOIN segs s
+    ), hits AS (
+        SELECT *,
+               CASE WHEN dot <= 0 THEN w2 * len2
+                    WHEN dot >= len2 THEN v2 * len2
+                    ELSE w2 * len2 - dot * dot END AS num,
+               greatest(0, least(dot, len2)) AS tcl
+        FROM cand
+    ), filt AS (
+        SELECT *, CAST(num AS DOUBLE) / CAST(len2 AS DOUBLE) AS d2d
+        FROM hits WHERE num <= {_SNAP_R * _SNAP_R} * len2
+    ), best AS (
+        SELECT *, row_number() OVER (PARTITION BY p_id
+                                     ORDER BY d2d, seg_id) AS rk
+        FROM filt
+    )
+    SELECT p_id, seg_id,
+           CAST(floor(1000000.0 * d2d) AS BIGINT) AS d2_micro,
+           CAST(floor(1000000.0 * (CAST(tcl AS DOUBLE)
+                                   / CAST(len2 AS DOUBLE))) AS BIGINT)
+             AS t_micro,
+           CAST(floor(1000.0 * (CAST(x1 AS DOUBLE)
+                 + (CAST(tcl AS DOUBLE) / CAST(len2 AS DOUBLE))
+                   * CAST(x2 - x1 AS DOUBLE))) AS BIGINT) AS sx_mil,
+           CAST(floor(1000.0 * (CAST(y1 AS DOUBLE)
+                 + (CAST(tcl AS DOUBLE) / CAST(len2 AS DOUBLE))
+                   * CAST(y2 - y1 AS DOUBLE))) AS BIGINT) AS sy_mil
+    FROM best WHERE rk = 1
+    """,
+)

@@ -728,6 +728,16 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    # map matching: grid candidate join (shuffled hash on the packed
+    # cell key) + exact rational refine — no cross product, no Python
+    audit(
+        "snap_points",
+        _GEO5D["snap_points"],
+        expect=("ShuffledHashJoin", "Generate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

@@ -314,3 +314,120 @@ def test_text_chunks_windows_and_overlap(spark, tmp_path):
     # overlap: chunk 1 re-covers t30..t39
     assert rows[(1, 0)]["n_tokens"] == 1
     assert rows[(1, 0)]["first_tok"] == "solo"
+
+
+# ------------------------------------------------------------ map matching
+
+
+def test_snap_to_segments_matches_bruteforce(spark):
+    from hand_index_spark.operators.mapmatch import snap_to_segments
+
+    rng = np.random.default_rng(5)
+    n_pts, n_segs, R = 120, 25, 700
+    pts = [(i, int(rng.integers(0, 8000)), int(rng.integers(0, 8000)))
+           for i in range(n_pts)]
+    segs = []
+    for s in range(n_segs):
+        x1, y1 = int(rng.integers(0, 7000)), int(rng.integers(0, 7000))
+        segs.append((s, x1, y1, x1 + int(rng.integers(100, 1500)),
+                     y1 + int(rng.integers(-1200, 1200))))
+    pdf = spark.createDataFrame(pts, schema="p_id long, px long, py long")
+    sdf = spark.createDataFrame(
+        segs, schema="seg_id long, x1 long, y1 long, x2 long, y2 long"
+    )
+    got = {r["p_id"]: r for r in snap_to_segments(pdf, sdf, R).collect()}
+
+    def d2_frac(px, py, x1, y1, x2, y2):
+        dx, dy = x2 - x1, y2 - y1
+        wx, wy = px - x1, py - y1
+        len2 = dx * dx + dy * dy
+        dot = wx * dx + wy * dy
+        if dot <= 0:
+            num = (wx * wx + wy * wy) * len2
+        elif dot >= len2:
+            vx, vy = px - x2, py - y2
+            num = (vx * vx + vy * vy) * len2
+        else:
+            num = (wx * wx + wy * wy) * len2 - dot * dot
+        return num, len2, max(0, min(dot, len2))
+
+    for p_id, px, py in pts:
+        best = None
+        for s, x1, y1, x2, y2 in segs:
+            num, len2, tcl = d2_frac(px, py, x1, y1, x2, y2)
+            if num > R * R * len2:
+                continue
+            key = (num / len2, s)
+            if best is None or key < best[0]:
+                best = (key, s, num, len2, tcl, x1, y1, x2, y2)
+        if best is None:
+            assert p_id not in got
+            continue
+        _, s, num, len2, tcl, x1, y1, x2, y2 = best
+        r = got[p_id]
+        assert r["seg_id"] == s
+        assert r["d2_micro"] == math.floor(1e6 * (num / len2))
+        assert r["t_micro"] == math.floor(1e6 * (tcl / len2))
+        t = tcl / len2
+        assert r["sx_mil"] == math.floor(1000.0 * (x1 + t * (x2 - x1)))
+        assert r["sy_mil"] == math.floor(1000.0 * (y1 + t * (y2 - y1)))
+
+
+def test_snap_exact_on_segment_and_endpoint_clamp(spark):
+    from hand_index_spark.operators.mapmatch import snap_to_segments
+
+    sdf = spark.createDataFrame(
+        [(0, 100, 100, 1100, 100)],
+        schema="seg_id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    pdf = spark.createDataFrame(
+        [(0, 600, 100),   # exactly on the segment -> d2 = 0, t = 0.5
+         (1, 50, 100),    # west of a -> clamps to a, d2 = 2500
+         (2, 1400, 180)], # east of b -> clamps to b
+        schema="p_id long, px long, py long",
+    )
+    out = {r["p_id"]: r for r in snap_to_segments(pdf, sdf, 800).collect()}
+    assert out[0]["d2_micro"] == 0 and out[0]["t_micro"] == 500000
+    assert out[0]["sx_mil"] == 600000 and out[0]["sy_mil"] == 100000
+    assert out[1]["t_micro"] == 0 and out[1]["d2_micro"] == 2500 * 10**6
+    assert out[1]["sx_mil"] == 100000
+    assert out[2]["t_micro"] == 10**6
+    assert out[2]["d2_micro"] == (300**2 + 80**2) * 10**6
+    assert out[2]["sx_mil"] == 1100000 and out[2]["sy_mil"] == 100000
+
+
+def test_snap_candidate_grid_finds_cross_cell_neighbors(spark):
+    from hand_index_spark.operators.mapmatch import snap_to_segments
+
+    # point and segment in DIFFERENT R-cells but within R: the
+    # R-expanded bbox cell explosion must still pair them
+    sdf = spark.createDataFrame(
+        [(0, 1000, 1000, 1500, 1000)],
+        schema="seg_id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    pdf = spark.createDataFrame(
+        [(0, 2100, 1050)],  # cell (2100 div 700 = 3) vs seg cells 1..2
+        schema="p_id long, px long, py long",
+    )
+    out = snap_to_segments(pdf, sdf, 700).collect()
+    assert len(out) == 1 and out[0]["seg_id"] == 0
+    # d2 = (2100-1500)^2 + 50^2 (clamped to b), within 700^2
+    assert out[0]["d2_micro"] == (600**2 + 50**2) * 10**6
+
+
+def test_snap_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5d import GEO5D, ORACLES5D
+
+    assert_match(GEO5D["snap_points"](spark, SF), ORACLES5D["snap_points"],
+                 con, "snap_points")
+
+
+def test_snap_plan_is_scale_safe(spark):
+    from hand_index_spark.entry_queries_r5d import GEO5D
+
+    plan = GEO5D["snap_points"](spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
