@@ -59,9 +59,10 @@ DRIVER_SAMPLE_ORDER = [
     # storage / icelite DML + lineage + zone-map file skipping
     "partitioned_roundtrip", "icelite_merge", "lineage_counts",
     "zonemap_pruned_read", "zorder_pruned_read", "matview_incremental",
-    # relational / window
+    # relational / window (crawl_delta moved past the cut for the
+    # round-5d map-matching family; still full-registry-verified)
     "pricing_summary", "join_left_3way", "window_dedup",
-    "regexp_path_join", "crawl_delta",
+    "regexp_path_join", "snap_points",
     # temporal joins
     "asof_join_latest_order", "range_join_followers",
     # structured streaming
@@ -71,8 +72,10 @@ DRIVER_SAMPLE_ORDER = [
     "dedup_clusters", "decontam_exact",
     # embeddings / ANN
     "embedding_topk", "ann_ivf_indexed", "ann_lsh_topk",
-    # text analysis
-    "langid", "lm_score", "html_extract_text",
+    # text analysis (kneser_ney_score supersedes lm_score in the
+    # sample — same family, production smoothing; lm_score stays
+    # full-registry-verified)
+    "langid", "kneser_ney_score", "html_extract_text",
     # geodesic + segment-overlay spatial joins (round-5b/5c families;
     # the planar distance_band_join twin stays full-registry-verified)
     "geodesic_band_join", "segment_intersect_join",
