@@ -39,6 +39,11 @@ KEYS = [
     "asof_join_latest_order",
     "datetime_functions",
     "stream_windowed",
+    # round-5d driver-sample newcomers (snap's fixture is spark.range;
+    # hillshade exercises the engine-exact sqrt/floor double rule
+    # without Arrow)
+    "snap_points",
+    "hillshade_stats",
 ]
 
 
