@@ -556,3 +556,84 @@ _register(
     FROM best WHERE rk = 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Geodesic polygon area (geo/sphere.py): Chamberlain-Duquette spherical
+# shoelace over pos-ordered milli-degree rings — 40 rectangle-perimeter
+# rings (8 vertices each) derived from ring_id arithmetic. One groupBy,
+# left-assoc ordered term sum (the IDW rule), floor whole square
+# meters; the oracle replays the identical trig expression tree.
+
+
+def _q_geodesic_area(spark, sf_dir):
+    from .geo.sphere import spherical_ring_area
+
+    d = _t(spark, sf_dir, "documents")
+    r = F.col("r")
+    par = (
+        d.select((F.col("doc_id") % 40).alias("r"))
+        .distinct()
+        .select(
+            "r",
+            (F.lit(20000) + (r * 997) % 30000).alias("phs"),
+            (F.lit(1000) + F.lit(2) * ((r * 131) % 2000)).alias("h"),
+            (F.lit(-120000) + (r * 7919) % 60000).alias("lw"),
+            (F.lit(1000) + F.lit(2) * ((r * 211) % 2500)).alias("wd"),
+        )
+    )
+    v = par.select(
+        F.col("r").alias("ring_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("pos"),
+        "phs", "h", "lw", "wd",
+    )
+    p = F.col("pos")
+    lat = (
+        F.when(p <= 2, F.col("phs"))
+        .when((p == 3) | (p == 7), F.col("phs") + F.expr("h div 2"))
+        .otherwise(F.col("phs") + F.col("h"))
+    )
+    lon = (
+        F.when((p == 0) | (p == 6) | (p == 7), F.col("lw"))
+        .when((p == 1) | (p == 5), F.col("lw") + F.expr("wd div 2"))
+        .otherwise(F.col("lw") + F.col("wd"))
+    )
+    rings = v.select(
+        "ring_id", "pos", lat.alias("lat_md"), lon.alias("lon_md")
+    )
+    return spherical_ring_area(rings)
+
+
+def _geodesic_area_sql() -> str:
+    from .geo.sphere import spherical_ring_area_sql_terms
+
+    return f"""
+    WITH rid AS (SELECT DISTINCT doc_id % 40 AS r FROM documents),
+    par AS (
+        SELECT r, 20000 + (r * 997) % 30000 AS phs,
+               1000 + 2 * ((r * 131) % 2000) AS h,
+               -120000 + (r * 7919) % 60000 AS lw,
+               1000 + 2 * ((r * 211) % 2500) AS wd
+        FROM rid
+    ), verts AS (
+        SELECT r AS ring_id, p AS pos,
+               CASE WHEN p <= 2 THEN phs
+                    WHEN p = 3 OR p = 7 THEN phs + h // 2
+                    ELSE phs + h END AS lat_md,
+               CASE WHEN p = 0 OR p = 6 OR p = 7 THEN lw
+                    WHEN p = 1 OR p = 5 THEN lw + wd // 2
+                    ELSE lw + wd END AS lon_md
+        FROM par, range(0, 8) t(p)
+    ), g AS (
+        SELECT ring_id,
+               list_sort(list(struct_pack(pos := pos, lat_md := lat_md,
+                                          lon_md := lon_md))) AS vs
+        FROM verts GROUP BY ring_id
+    )
+    SELECT ring_id, CAST(len(vs) AS BIGINT) AS n_vertices,
+           {spherical_ring_area_sql_terms('vs')} AS area_floor_sqm
+    FROM g
+    """
+
+
+_register(GEO5D, "geodesic_area", _q_geodesic_area, _geodesic_area_sql())

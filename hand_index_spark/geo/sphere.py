@@ -149,3 +149,81 @@ def geodesic_band_pairs(
         .where(F.col("meters") <= F.lit(int(radius_m)))
         .select("a_id", "b_id", "meters")
     )
+
+
+# ------------------------------------------------------------ polygon area
+
+
+def spherical_ring_area(rings: DataFrame, ring_id: str = "ring_id") -> DataFrame:
+    """Geodesic polygon area (Chamberlain & Duquette, "Some algorithms
+    for polygons on a sphere", JPL): for a closed ring of milli-degree
+    vertices (pos-ordered, exterior not crossing the antimeridian),
+
+        area = | sum_i (lam_{i+1} - lam_i) * (2 + sin(phi_i)
+                                                + sin(phi_{i+1})) |
+               * R^2 / 2
+
+    (divisor derivation: a [phs, phn] x [lw, le] rectangle's term sum
+    is 2 * dlam * (sin phn - sin phs), and its true spherical area is
+    R^2 * dlam * (sin phn - sin phs) — pinned by the analytic pytest)
+
+    ``rings``(ring_id, pos, lat_md, lon_md) -> (ring_id, n_vertices,
+    area_floor_sqm). The term sum folds LEFT-ASSOCIATIVELY over the
+    pos-sorted vertex list (the engine-wide ordered-sum rule) and the
+    result floors to whole square meters with the identical operation
+    order as :func:`spherical_ring_area_sql_terms`, so Spark and the
+    DuckDB oracle agree despite the sin() calls (the trig-ulp rule:
+    a flip needs the true area within ~1 ulp of an integer boundary).
+    One groupBy — no join, no Python; at any scale the cost is one
+    keyed shuffle of the vertex table.
+    """
+    g = rings.groupBy(F.col(ring_id).alias("ring_id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "lat_md", "lon_md"))
+        ).alias("vs")
+    )
+    n = F.size("vs")
+
+    def term(i):
+        a = F.element_at(F.col("vs"), i + 1)
+        b = F.element_at(F.col("vs"), ((i + 1) % n) + 1)
+        lam1, lam2 = _rad(a["lon_md"]), _rad(b["lon_md"])
+        ph1, ph2 = _rad(a["lat_md"]), _rad(b["lat_md"])
+        return (lam2 - lam1) * (F.lit(2.0) + F.sin(ph1) + F.sin(ph2))
+
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(0), n - 1), term),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    half_r2 = EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+    return g.select(
+        "ring_id",
+        n.cast("long").alias("n_vertices"),
+        F.floor(F.abs(total) * F.lit(half_r2)).cast("long").alias(
+            "area_floor_sqm"
+        ),
+    )
+
+
+def spherical_ring_area_sql_terms(vs: str) -> str:
+    """DuckDB twin: ``vs`` is a pos-sorted LIST of
+    struct(pos, lat_md, lon_md); returns the area_floor_sqm expression
+    with the identical operation order (list_sum is the verified
+    left-assoc fold; see operators/interpolate.py)."""
+    n = f"len({vs})"
+
+    def lat(e):
+        return _rad_sql(f"{e}.lat_md")
+
+    def lon(e):
+        return _rad_sql(f"{e}.lon_md")
+
+    a, b = f"{vs}[i + 1]", f"{vs}[((i + 1) % {n}) + 1]"
+    term = (
+        f"(({lon(b)}) - ({lon(a)}))"
+        f" * ((2.0 + sin({lat(a)})) + sin({lat(b)}))"
+    )
+    total = f"list_sum(list_transform(range(0, {n}), i -> {term}))"
+    half_r2 = EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+    return f"CAST(floor(abs({total}) * {half_r2!r}) AS BIGINT)"

@@ -738,6 +738,16 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # geodesic polygon area: one groupBy over the vertex table, term
+    # sum inside the aggregate — join-free, no Python
+    audit(
+        "geodesic_area",
+        _GEO5D["geodesic_area"],
+        expect=("HashAggregate",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

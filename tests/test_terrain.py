@@ -431,3 +431,63 @@ def test_snap_plan_is_scale_safe(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------- geodesic area
+
+
+def test_spherical_area_rectangle_analytic(spark):
+    from hand_index_spark.geo.sphere import EARTH_RADIUS_M, spherical_ring_area
+
+    # spherical rectangle [phs, phn] x [lw, le]: exact area is
+    # R^2 * dlam * (sin(phn) - sin(phs))
+    phs, phn, lw, le = 30000, 34000, -100000, -95000
+    ring = [(0, 0, phs, lw), (0, 1, phs, le), (0, 2, phn, le), (0, 3, phn, lw)]
+    df = spark.createDataFrame(
+        ring, schema="ring_id long, pos long, lat_md long, lon_md long"
+    )
+    out = spherical_ring_area(df).collect()[0]
+    rad = math.pi / 180000.0
+    exact = (
+        EARTH_RADIUS_M ** 2
+        * ((le - lw) * rad)
+        * (math.sin(phn * rad) - math.sin(phs * rad))
+    )
+    assert out["n_vertices"] == 4
+    assert abs(out["area_floor_sqm"] - exact) / exact < 1e-9
+
+
+def test_spherical_area_orientation_and_subdivision(spark):
+    from hand_index_spark.geo.sphere import spherical_ring_area
+
+    phs, phn, lw, le = 45000, 47000, 10000, 13000
+    cw = [(0, 0, phs, lw), (0, 1, phs, le), (0, 2, phn, le), (0, 3, phn, lw)]
+    ccw = [(1, i, lat, lon) for i, (_, _, lat, lon) in enumerate(cw[::-1])]
+    # subdividing the south edge must not change the area (extra vertex
+    # on the same parallel splits one term linearly)
+    sub = [(2, 0, phs, lw), (2, 1, phs, (lw + le) // 2), (2, 2, phs, le),
+           (2, 3, phn, le), (2, 4, phn, lw)]
+    df = spark.createDataFrame(
+        cw + ccw + sub, schema="ring_id long, pos long, lat_md long, lon_md long"
+    )
+    out = {r["ring_id"]: r["area_floor_sqm"]
+           for r in spherical_ring_area(df).collect()}
+    assert abs(out[0] - out[1]) <= 1  # reversal: same |area| up to 1 ulp-floor
+    assert abs(out[0] - out[2]) <= 1
+
+
+def test_geodesic_area_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5d import GEO5D, ORACLES5D
+
+    assert_match(GEO5D["geodesic_area"](spark, SF), ORACLES5D["geodesic_area"],
+                 con, "geodesic_area")
+
+
+def test_geodesic_area_plan_join_free(spark):
+    from hand_index_spark.entry_queries_r5d import GEO5D
+
+    plan = GEO5D["geodesic_area"](spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
