@@ -637,3 +637,66 @@ def _geodesic_area_sql() -> str:
 
 
 _register(GEO5D, "geodesic_area", _q_geodesic_area, _geodesic_area_sql())
+
+
+# --------------------------------------------------------------------------
+# Streaming windowed top-k (hot users per day): the production
+# two-stage shape — a continuous streaming aggregation (counts per
+# day/user through the file-stream source, availableNow) materialized
+# to the serving layer, then ranked there (ranking is not a streaming
+# operator; the serving-side row_number over the ALREADY-REDUCED
+# aggregate is the 100 TB pattern). Batch-parity oracle.
+
+
+def _q_stream_topk(spark, sf_dir):
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from .entry_queries_r2 import _fresh_dir
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = _fresh_dir("stream_topk_src_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        stream.withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+        .groupBy("day", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("day", "user_id", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+_register(
+    TEXT5D,
+    "stream_topk",
+    _q_stream_topk,
+    """
+    WITH c AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY day
+                                     ORDER BY n DESC, user_id) AS rnk
+        FROM c
+    )
+    SELECT day, user_id, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+    """,
+)

@@ -491,3 +491,29 @@ def test_geodesic_area_plan_join_free(spark):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+# ----------------------------------------------------------- streaming topk
+
+
+def test_stream_topk_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5d import ORACLES5D, TEXT5D
+
+    assert_match(TEXT5D["stream_topk"](spark, SF), ORACLES5D["stream_topk"],
+                 con, "stream_topk")
+
+
+def test_stream_topk_rank_semantics(spark):
+    from hand_index_spark.entry_queries_r5d import TEXT5D
+
+    rows = TEXT5D["stream_topk"](spark, SF).collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append((r["rnk"], r["n"], r["user_id"]))
+    for day, rs in by_day.items():
+        rs.sort()
+        assert [r[0] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # counts are non-increasing with rank; ties break by user_id asc
+        for (r1, n1, u1), (r2, n2, u2) in zip(rs, rs[1:]):
+            assert n1 > n2 or (n1 == n2 and u1 < u2)
