@@ -700,3 +700,118 @@ _register(
     SELECT day, user_id, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# DEM hillshade THROUGH THE REAL PNG DECODE PATH (codecs x terrain
+# integration, the dem_slope_stats pattern): synthesize an elevation
+# tile per doc, encode with the from-scratch PNG codec, decode it back,
+# and run the Horn kernel vectorized in the Arrow batch. Per-doc
+# outputs are integer (max slope_sq, count of steep interior cells), so
+# parity is exact; the oracle recomputes the surface arithmetic at the
+# 8 closed-form neighbor offsets — proof that real decoded bytes feed
+# the terrain kernel.
+
+_DHS_STEEP = 512
+
+
+def _q_dem_hillshade_stats(spark, sf_dir):
+    import pandas as _pd
+
+    from .functions import codecs as C
+
+    d = _t(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 9 + did % 5
+                h = 9 + did % 3
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                z = ((3 * x + 5 * y + (x * y) % 7 + did) % 256).astype(np.uint8)
+                rows.append((did, C.png_encode(z)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+                z = C.png_decode(bytes(blob))[:, :, 0].astype(np.int64)
+                # Horn 8x derivatives on the interior (vectorized slices;
+                # gy is the ROW axis here, increasing "north")
+                c_, f_, i_ = z[2:, 2:], z[1:-1, 2:], z[:-2, 2:]
+                a_, d_, g_ = z[2:, :-2], z[1:-1, :-2], z[:-2, :-2]
+                b_, h_ = z[2:, 1:-1], z[:-2, 1:-1]
+                dzdx8 = (c_ + 2 * f_ + i_) - (a_ + 2 * d_ + g_)
+                dzdy8 = (a_ + 2 * b_ + c_) - (g_ + 2 * h_ + i_)
+                s2 = dzdx8 * dzdx8 + dzdy8 * dzdy8
+                rows.append(
+                    (
+                        int(did),
+                        int(z.shape[1]),
+                        int(z.shape[0]),
+                        int(s2.size),
+                        int(s2.max()),
+                        int((s2 >= _DHS_STEEP).sum()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "w", "h", "n_interior", "max_slope_sq",
+                         "steep_cells"],
+            )
+
+    return payloads.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, w int, h int, n_interior long, max_slope_sq long, "
+            "steep_cells long"
+        ),
+    )
+
+
+def _dem_hillshade_sql() -> str:
+    # z at closed-form offsets; the Horn kernel inlined per neighbor
+    def z(dx, dy):
+        xx = f"(t1.x + {dx})" if dx else "t1.x"
+        yy = f"(t2.y + {dy})" if dy else "t2.y"
+        return (f"(3 * {xx} + 5 * {yy} + ({xx} * {yy}) % 7 + d.doc_id) % 256")
+
+    dzdx8 = (
+        f"(({z(1,1)}) + 2 * ({z(1,0)}) + ({z(1,-1)}))"
+        f" - (({z(-1,1)}) + 2 * ({z(-1,0)}) + ({z(-1,-1)}))"
+    )
+    dzdy8 = (
+        f"(({z(-1,1)}) + 2 * ({z(0,1)}) + ({z(1,1)}))"
+        f" - (({z(-1,-1)}) + 2 * ({z(0,-1)}) + ({z(1,-1)}))"
+    )
+    return f"""
+    WITH dims AS (
+        SELECT doc_id, 9 + doc_id % 5 AS w, 9 + doc_id % 3 AS h
+        FROM documents
+    ), s AS (
+        SELECT d.doc_id, d.w, d.h,
+               ({dzdx8}) * ({dzdx8}) + ({dzdy8}) * ({dzdy8}) AS s2
+        FROM dims d, range(0, 14) t1(x), range(0, 12) t2(y)
+        WHERE t1.x >= 1 AND t1.x < d.w - 1 AND t2.y >= 1 AND t2.y < d.h - 1
+    )
+    SELECT doc_id, CAST(max(w) AS INTEGER) AS w, CAST(max(h) AS INTEGER) AS h,
+           count(*) AS n_interior,
+           CAST(max(s2) AS BIGINT) AS max_slope_sq,
+           CAST(sum(CASE WHEN s2 >= {_DHS_STEEP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS steep_cells
+    FROM s GROUP BY doc_id
+    """
+
+
+_register(TEXT5D, "dem_hillshade_stats", _q_dem_hillshade_stats,
+          _dem_hillshade_sql())

@@ -517,3 +517,36 @@ def test_stream_topk_rank_semantics(spark):
         # counts are non-increasing with rank; ties break by user_id asc
         for (r1, n1, u1), (r2, n2, u2) in zip(rs, rs[1:]):
             assert n1 > n2 or (n1 == n2 and u1 < u2)
+
+
+# -------------------------------------------------- DEM decode-path hillshade
+
+
+def test_dem_hillshade_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5d import ORACLES5D, TEXT5D
+
+    assert_match(TEXT5D["dem_hillshade_stats"](spark, SF),
+                 ORACLES5D["dem_hillshade_stats"], con, "dem_hillshade_stats")
+
+
+def test_dem_hillshade_matches_grid_operator(spark):
+    """The Arrow-batch Horn kernel (through the real PNG decode) and the
+    Catalyst hillshade_cells operator must agree on the same surface."""
+    from hand_index_spark.operators.terrain import hillshade_cells
+
+    did, w, h = 7, 9 + 7 % 5, 9 + 7 % 3
+    rows = [
+        (x, y, (3 * x + 5 * y + (x * y) % 7 + did) % 256)
+        for x in range(w) for y in range(h)
+    ]
+    cells = spark.createDataFrame(rows, schema="gx long, gy long, elev long")
+    grid = hillshade_cells(cells).collect()
+    max_s2 = max(r["slope_sq"] for r in grid)
+    steep = sum(1 for r in grid if r["slope_sq"] >= 512)
+
+    from hand_index_spark.entry_queries_r5d import TEXT5D
+    out = {r["doc_id"]: r
+           for r in TEXT5D["dem_hillshade_stats"](spark, SF).collect()}
+    assert out[did]["max_slope_sq"] == max_s2
+    assert out[did]["steep_cells"] == steep
+    assert out[did]["n_interior"] == (w - 2) * (h - 2) == len(grid)
