@@ -815,3 +815,86 @@ def _dem_hillshade_sql() -> str:
 
 _register(TEXT5D, "dem_hillshade_stats", _q_dem_hillshade_stats,
           _dem_hillshade_sql())
+
+
+# --------------------------------------------------------------------------
+# Trajectory resampling (operators/interpolate.py): a point every 500
+# units of arc length along each pos-ordered track. Cumulative lengths
+# are left-assoc folds of PREFIX SLICES of the segment-length list on
+# both engines (list_sum([]) is NULL in DuckDB, hence the coalesce),
+# so segment selection and the interpolation parameter are
+# bit-identical.
+
+_RS_SP = 500
+
+
+def _q_resample_traj(spark, sf_dir):
+    from .operators.interpolate import resample_polyline
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select(
+        (F.col("doc_id") % 20).alias("traj_id"),
+        F.floor(F.col("doc_id") / 20).cast("long").alias("pos"),
+        (
+            F.lit(100) * F.floor(F.col("doc_id") / 20).cast("long")
+            + (F.col("doc_id") * 37) % 50
+        ).alias("x"),
+        ((F.col("doc_id") * 73) % 400).alias("y"),
+    )
+    return resample_polyline(pts, _RS_SP)
+
+
+def _resample_sql() -> str:
+    sp = float(_RS_SP)
+
+    def cum(j):
+        return f"coalesce(list_sum(list_slice(lens, 1, {j})), 0.0)"
+
+    def coord(ax):
+        return (
+            f"CAST(floor(1000.0 * (CAST(vs[j + 1].{ax} AS DOUBLE)"
+            f" + ((ksp - {cum('j')}) / lens[j + 1])"
+            f" * CAST(vs[j + 2].{ax} - vs[j + 1].{ax} AS DOUBLE)))"
+            " AS BIGINT)"
+        )
+
+    return f"""
+    WITH p AS (
+        SELECT doc_id % 20 AS traj_id, doc_id // 20 AS pos,
+               100 * (doc_id // 20) + (doc_id * 37) % 50 AS x,
+               (doc_id * 73) % 400 AS y
+        FROM documents
+    ), g0 AS (
+        SELECT traj_id,
+               list_sort(list(struct_pack(pos := pos, x := x, y := y))) AS vs
+        FROM p GROUP BY traj_id
+    ), g AS (
+        SELECT traj_id, vs,
+               list_transform(range(0, len(vs) - 1), i ->
+                   sqrt(CAST((vs[i + 2].x - vs[i + 1].x)
+                               * (vs[i + 2].x - vs[i + 1].x)
+                             + (vs[i + 2].y - vs[i + 1].y)
+                               * (vs[i + 2].y - vs[i + 1].y) AS DOUBLE))
+               ) AS lens
+        FROM g0 WHERE len(vs) >= 2
+    ), tot AS (
+        SELECT *, list_sum(lens) AS total FROM g
+    ), s AS (
+        SELECT traj_id, vs, lens,
+               unnest(range(0, CAST(floor(total / {sp!r}) AS INT) + 1)) AS k
+        FROM tot
+    ), sj AS (
+        SELECT *, CAST(k AS DOUBLE) * {sp!r} AS ksp,
+               len(list_filter(range(0, len(lens)), i ->
+                   coalesce(list_sum(list_slice(lens, 1, i)), 0.0)
+                     <= CAST(k AS DOUBLE) * {sp!r})) - 1 AS j
+        FROM s
+    )
+    SELECT traj_id, CAST(k AS BIGINT) AS k, CAST(j AS BIGINT) AS seg_idx,
+           {coord('x')} AS sx_mil,
+           {coord('y')} AS sy_mil
+    FROM sj
+    """
+
+
+_register(GEO5D, "resample_traj", _q_resample_traj, _resample_sql())

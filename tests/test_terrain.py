@@ -550,3 +550,63 @@ def test_dem_hillshade_matches_grid_operator(spark):
     assert out[did]["max_slope_sq"] == max_s2
     assert out[did]["steep_cells"] == steep
     assert out[did]["n_interior"] == (w - 2) * (h - 2) == len(grid)
+
+
+# ------------------------------------------------------------- resampling
+
+
+def test_resample_polyline_straight_line(spark):
+    from hand_index_spark.operators.interpolate import resample_polyline
+
+    # straight horizontal track of length 1000, spacing 300:
+    # samples at s = 0, 300, 600, 900
+    pts = [(0, i, i * 250, 50) for i in range(5)]
+    df = spark.createDataFrame(pts, schema="traj_id long, pos long, x long, y long")
+    out = sorted((r["k"], r["sx_mil"], r["sy_mil"], r["seg_idx"])
+                 for r in resample_polyline(df, 300).collect())
+    assert out == [(0, 0, 50000, 0), (1, 300000, 50000, 1),
+                   (2, 600000, 50000, 2), (3, 900000, 50000, 3)]
+
+
+def test_resample_polyline_bruteforce(spark):
+    from hand_index_spark.operators.interpolate import resample_polyline
+
+    rng = np.random.default_rng(13)
+    trajs = {}
+    rows = []
+    for t in range(6):
+        n = int(rng.integers(3, 12))
+        xs = np.cumsum(rng.integers(50, 300, size=n))
+        ys = rng.integers(0, 500, size=n)
+        trajs[t] = list(zip(xs.tolist(), ys.tolist()))
+        rows += [(t, i, int(x), int(y)) for i, (x, y) in enumerate(trajs[t])]
+    df = spark.createDataFrame(rows, schema="traj_id long, pos long, x long, y long")
+    got = {(r["traj_id"], r["k"]): (r["seg_idx"], r["sx_mil"], r["sy_mil"])
+           for r in resample_polyline(df, 200).collect()}
+    want = {}
+    for t, vs in trajs.items():
+        lens = [math.sqrt((vs[i + 1][0] - vs[i][0]) ** 2
+                          + (vs[i + 1][1] - vs[i][1]) ** 2)
+                for i in range(len(vs) - 1)]
+        # left-assoc folds exactly as the operator defines them
+        def cum(j):
+            a = 0.0
+            for x in lens[:j]:
+                a = a + x
+            return a
+        total = cum(len(lens))
+        for k in range(int(math.floor(total / 200.0)) + 1):
+            ksp = float(k) * 200.0
+            j = max(i for i in range(len(lens)) if cum(i) <= ksp)
+            tt = (ksp - cum(j)) / lens[j]
+            sx = vs[j][0] + tt * (vs[j + 1][0] - vs[j][0])
+            sy = vs[j][1] + tt * (vs[j + 1][1] - vs[j][1])
+            want[(t, k)] = (j, math.floor(1000.0 * sx), math.floor(1000.0 * sy))
+    assert got == want
+
+
+def test_resample_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5d import GEO5D, ORACLES5D
+
+    assert_match(GEO5D["resample_traj"](spark, SF), ORACLES5D["resample_traj"],
+                 con, "resample_traj")
