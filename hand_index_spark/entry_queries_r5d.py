@@ -898,3 +898,108 @@ def _resample_sql() -> str:
 
 
 _register(GEO5D, "resample_traj", _q_resample_traj, _resample_sql())
+
+
+# --------------------------------------------------------------------------
+# Contour POLYGONIZATION (topology assembly): marching-squares segments
+# -> closed isoline loops, composed from two verified pieces — the
+# contour extractor and min-label connected components (path halving,
+# operators/dedup.py). Segments sharing an exact milli-coordinate
+# endpoint are edges; each component is one isoline; open_ends counts
+# degree-1 endpoints (0 = closed loop; >0 = clipped at the grid edge).
+# The oracle embeds the contour oracle and replays the closure as a
+# recursive CTE (the dedup_clusters technique).
+
+_EP_PACK = 1 << 22
+
+
+def _q_contour_loops(spark, sf_dir):
+    from .operators.dedup import min_label_components
+    from .operators.terrain import contour_segments
+
+    segs = contour_segments(_dem_cells(spark, sf_dir), _CONTOUR_T)
+    sid = ((F.col("gx") * F.lit(1 << 21) + F.col("gy")) * 2 + F.col("seg_idx"))
+    segs = segs.select(
+        sid.alias("sid"), "x1_mil", "y1_mil", "x2_mil", "y2_mil"
+    ).localCheckpoint(eager=True)  # components iterate; cut the lineage
+    eps = segs.select(
+        "sid", (F.col("x1_mil") * _EP_PACK + F.col("y1_mil")).alias("ep")
+    ).unionByName(
+        segs.select(
+            "sid", (F.col("x2_mil") * _EP_PACK + F.col("y2_mil")).alias("ep")
+        )
+    )
+    e1 = eps.select(F.col("sid").alias("a"), "ep")
+    e2 = eps.select(F.col("sid").alias("b"), "ep")
+    edges = (
+        e1.hint("shuffle_hash")
+        .join(e2, "ep")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    comp = min_label_components(segs.select(F.col("sid").alias("node")), edges)
+    deg = eps.groupBy("ep").agg(F.count(F.lit(1)).alias("deg"))
+    open_eps = (
+        eps.join(deg.where(F.col("deg") == 1), "ep")
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    per_seg = comp.join(
+        open_eps, comp.node == open_eps.sid, "left"
+    ).select(
+        F.col("label").alias("loop_id"),
+        F.coalesce(F.col("n_open"), F.lit(0)).alias("n_open"),
+    )
+    return per_seg.groupBy("loop_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n_open").cast("long").alias("open_ends"),
+    )
+
+
+def _contour_loops_sql() -> str:
+    contour = _contour_sql()
+    return f"""
+    WITH RECURSIVE segs0 AS ({contour}),
+    segs AS (
+        SELECT (gx * {1 << 21} + gy) * 2 + seg_idx AS sid,
+               x1_mil, y1_mil, x2_mil, y2_mil
+        FROM segs0
+    ),
+    eps AS (
+        SELECT sid, x1_mil * {_EP_PACK} + y1_mil AS ep FROM segs
+        UNION ALL
+        SELECT sid, x2_mil * {_EP_PACK} + y2_mil AS ep FROM segs
+    ),
+    edges0 AS (
+        SELECT DISTINCT a.sid AS a, b.sid AS b
+        FROM eps a JOIN eps b ON a.ep = b.ep AND a.sid < b.sid
+    ),
+    edges AS (
+        SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND r.a != e.b
+    ),
+    lbl AS (
+        SELECT s.sid,
+               least(s.sid, coalesce(min(r.b), s.sid)) AS loop_id
+        FROM segs s LEFT JOIN reach r ON r.a = s.sid
+        GROUP BY s.sid
+    ),
+    deg AS (SELECT ep, count(*) AS deg FROM eps GROUP BY ep),
+    open_eps AS (
+        SELECT e.sid, count(*) AS n_open
+        FROM eps e JOIN deg d ON d.ep = e.ep AND d.deg = 1
+        GROUP BY e.sid
+    )
+    SELECT l.loop_id, count(*) AS n_segments,
+           CAST(sum(coalesce(o.n_open, 0)) AS BIGINT) AS open_ends
+    FROM lbl l LEFT JOIN open_eps o ON o.sid = l.sid
+    GROUP BY l.loop_id
+    """
+
+
+_register(GEO5D, "contour_loops", _q_contour_loops, _contour_loops_sql())

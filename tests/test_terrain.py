@@ -610,3 +610,69 @@ def test_resample_oracle_parity(spark, con):
 
     assert_match(GEO5D["resample_traj"](spark, SF), ORACLES5D["resample_traj"],
                  con, "resample_traj")
+
+
+# ------------------------------------------------------------ polygonization
+
+
+def _loops_of(spark, z, t):
+    from hand_index_spark.operators.dedup import min_label_components
+    from hand_index_spark.operators.terrain import contour_segments
+
+    segs = contour_segments(_grid_df(spark, z), t)
+    from pyspark.sql import functions as F
+    sid = ((F.col("gx") * F.lit(1 << 21) + F.col("gy")) * 2 + F.col("seg_idx"))
+    segs = segs.select(sid.alias("sid"), "x1_mil", "y1_mil", "x2_mil",
+                       "y2_mil").localCheckpoint(eager=True)
+    eps = segs.select("sid", (F.col("x1_mil") * (1 << 22) + F.col("y1_mil"))
+                      .alias("ep")).unionByName(
+        segs.select("sid", (F.col("x2_mil") * (1 << 22) + F.col("y2_mil"))
+                    .alias("ep")))
+    edges = (eps.select(F.col("sid").alias("a"), "ep")
+             .join(eps.select(F.col("sid").alias("b"), "ep"), "ep")
+             .where(F.col("a") < F.col("b")).select("a", "b").distinct())
+    comp = min_label_components(segs.select(F.col("sid").alias("node")), edges)
+    deg = eps.groupBy("ep").agg(F.count(F.lit(1)).alias("deg"))
+    opens = (eps.join(deg.where(F.col("deg") == 1), "ep")
+             .groupBy("sid").agg(F.count(F.lit(1)).alias("n_open")))
+    per = comp.join(opens, comp.node == opens.sid, "left").select(
+        F.col("label").alias("loop_id"),
+        F.coalesce(F.col("n_open"), F.lit(0)).alias("n_open"))
+    return {r["loop_id"]: (r["n"], r["o"]) for r in
+            per.groupBy("loop_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_open").cast("long").alias("o")).collect()}
+
+
+def test_contour_loops_single_peak_is_one_closed_loop(spark):
+    z = np.zeros((3, 3), dtype=np.int64)
+    z[1, 1] = 100
+    loops = _loops_of(spark, z, 50)
+    assert len(loops) == 1
+    assert list(loops.values()) == [(4, 0)]  # 4 segments, closed
+
+
+def test_contour_loops_two_peaks_two_loops(spark):
+    z = np.zeros((3, 7), dtype=np.int64)
+    z[1, 1] = 100
+    z[1, 5] = 100
+    loops = _loops_of(spark, z, 50)
+    assert len(loops) == 2
+    assert sorted(loops.values()) == [(4, 0), (4, 0)]
+
+
+def test_contour_loops_ramp_is_open_polyline(spark):
+    # z = gx ramp: one vertical isoline clipped at the grid edge ->
+    # a single open chain with exactly 2 degree-1 endpoints
+    z = np.fromfunction(lambda y, x: x, (5, 6), dtype=np.int64)
+    loops = _loops_of(spark, z, 3)
+    assert len(loops) == 1
+    (n, o), = loops.values()
+    assert n == 4 and o == 2
+
+
+def test_contour_loops_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5d import GEO5D, ORACLES5D
+
+    assert_match(GEO5D["contour_loops"](spark, SF), ORACLES5D["contour_loops"],
+                 con, "contour_loops")
