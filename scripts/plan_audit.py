@@ -748,6 +748,28 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    # streaming top-k runs a stream first (audited for batch parity in
+    # tests); the serving-side ranking plan is what matters at scale —
+    # windowed over the ALREADY-REDUCED aggregate. dem_hillshade's
+    # Arrow stages are the deliberate codec path (mapInPandas), so only
+    # cartesian is forbidden there.
+    audit(
+        "resample_traj",
+        _GEO5D["resample_traj"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    audit(
+        "contour_loops",
+        _GEO5D["contour_loops"],
+        # at fixture scale AQE broadcasts the tiny checkpointed edge
+        # frames; the scale-safety claim is the forbid list
+        expect=("HashAggregate", "Scan ExistingRDD"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
