@@ -1003,3 +1003,56 @@ def _contour_loops_sql() -> str:
 
 
 _register(GEO5D, "contour_loops", _q_contour_loops, _contour_loops_sql())
+
+
+# --------------------------------------------------------------------------
+# Ray viewshed (operators/terrain.py): line-of-sight visibility from
+# the DEM grid's center cell along the 8 cardinal/diagonal rays —
+# running-max occlusion with strict-greater visibility. Ray membership
+# is a pure filter, the occlusion pass ONE window; max is associative
+# so the running maximum is order-exact and the identically-windowed
+# oracle is bit-identical.
+
+_VS_OX, _VS_OY = 12, 10
+
+
+def _q_viewshed(spark, sf_dir):
+    from .operators.terrain import ray_viewshed
+
+    return ray_viewshed(_dem_cells(spark, sf_dir), _VS_OX, _VS_OY)
+
+
+_register(
+    GEO5D,
+    "ray_viewshed",
+    _q_viewshed,
+    f"""
+    WITH cells AS ({_DEM_CELLS_SQL}),
+    z0 AS (SELECT elev AS z0 FROM cells WHERE gx = {_VS_OX} AND gy = {_VS_OY}),
+    rays AS (
+        SELECT CAST((CASE WHEN c.gx > {_VS_OX} THEN 1
+                          WHEN c.gx < {_VS_OX} THEN -1 ELSE 0 END + 1) * 3
+                    + (CASE WHEN c.gy > {_VS_OY} THEN 1
+                            WHEN c.gy < {_VS_OY} THEN -1 ELSE 0 END + 1)
+                    AS INT) AS ray,
+               greatest(abs(c.gx - {_VS_OX}), abs(c.gy - {_VS_OY})) AS k,
+               c.gx AS gx, c.gy AS gy,
+               CAST(c.elev - z0.z0 AS DOUBLE)
+                 / CAST(greatest(abs(c.gx - {_VS_OX}),
+                                 abs(c.gy - {_VS_OY})) AS DOUBLE) AS angle
+        FROM cells c CROSS JOIN z0
+        WHERE NOT (c.gx = {_VS_OX} AND c.gy = {_VS_OY})
+          AND (c.gx = {_VS_OX} OR c.gy = {_VS_OY}
+               OR abs(c.gx - {_VS_OX}) = abs(c.gy - {_VS_OY}))
+    )
+    SELECT ray, k, gx, gy,
+           CAST(floor(1000000.0 * angle) AS BIGINT) AS angle_micro,
+           CASE WHEN max(angle) OVER (PARTITION BY ray ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL THEN TRUE
+                ELSE angle > max(angle) OVER (PARTITION BY ray ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           END AS visible
+    FROM rays
+    """,
+)

@@ -367,3 +367,79 @@ def contour_segments(cells: DataFrame, threshold: int) -> DataFrame:
         F.col("s.x2_mil").alias("x2_mil"),
         F.col("s.y2_mil").alias("y2_mil"),
     )
+
+
+# -------------------------------------------------------------- viewshed
+
+
+def ray_viewshed(cells: DataFrame, ox: int, oy: int) -> DataFrame:
+    """Line-of-sight visibility from the observer cell (ox, oy) along
+    the 8 cardinal/diagonal rays: a cell at step k is visible iff its
+    elevation angle (z - z0) / k STRICTLY exceeds the running maximum
+    of all nearer cells on the same ray (ties occlude; step 1 is always
+    visible since the running max starts at -infinity).
+
+    ``cells``(gx, gy, elev) -> (ray, k, gx, gy, angle_micro, visible)
+    for every on-ray cell. Ray membership is a pure filter
+    (dx = 0, dy = 0, or |dx| = |dy|), so the whole operator is one
+    windowed pass — ONE keyed shuffle on (ray), no joins, no Python.
+    The angle is one correctly-rounded IEEE division of exact integers
+    and the running max is order-exact (max is associative), so the
+    DuckDB oracle with the identical window is bit-identical.
+
+    The dividing (z - z0) by the STEP count k (not Euclidean distance)
+    is exact for occlusion: along any single ray the true distance is
+    k or k * sqrt(2) uniformly, so the constant factor cancels in every
+    comparison.
+    """
+    from pyspark.sql import Window
+
+    base = cells.select(
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        F.col("elev").cast("long").alias("elev"),
+    )
+    z0 = base.where(
+        (F.col("gx") == ox) & (F.col("gy") == oy)
+    ).select(F.col("elev").alias("z0"))
+    dx = F.col("gx") - F.lit(int(ox))
+    dy = F.col("gy") - F.lit(int(oy))
+    on_ray = (
+        ((dx != 0) | (dy != 0))
+        & ((dx == 0) | (dy == 0) | (F.abs(dx) == F.abs(dy)))
+    )
+    sgn = lambda c: F.when(c > 0, 1).when(c < 0, -1).otherwise(0)  # noqa: E731
+    ray = (sgn(dx) + 1) * 3 + (sgn(dy) + 1)  # 0..8 skipping 4 (origin)
+    k = F.greatest(F.abs(dx), F.abs(dy))
+    rays = (
+        base.where(on_ray)
+        .crossJoin(F.broadcast(z0))  # 1-row scalar
+        .select(
+            ray.cast("int").alias("ray"),
+            k.cast("long").alias("k"),
+            "gx",
+            "gy",
+            (
+                (F.col("elev") - F.col("z0")).cast("double")
+                / k.cast("double")
+            ).alias("angle"),
+        )
+    )
+    w = (
+        Window.partitionBy("ray")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.max("angle").over(w)
+    return rays.select(
+        "ray",
+        "k",
+        "gx",
+        "gy",
+        F.floor(F.lit(1000000.0) * F.col("angle")).cast("long").alias(
+            "angle_micro"
+        ),
+        F.when(prior.isNull(), F.lit(True))
+        .otherwise(F.col("angle") > prior)
+        .alias("visible"),
+    )

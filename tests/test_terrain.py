@@ -676,3 +676,58 @@ def test_contour_loops_oracle_parity(spark, con):
 
     assert_match(GEO5D["contour_loops"](spark, SF), ORACLES5D["contour_loops"],
                  con, "contour_loops")
+
+
+# --------------------------------------------------------------- viewshed
+
+
+def test_viewshed_monotone_ridge_blocks(spark):
+    from hand_index_spark.operators.terrain import ray_viewshed
+
+    # flat plain with a wall at x=5: beyond the wall nothing is
+    # visible along the east ray; the wall itself is
+    z = np.zeros((1, 9), dtype=np.int64)
+    z[0, 5] = 100
+    out = {(r["ray"], r["k"]): r
+           for r in ray_viewshed(_grid_df(spark, z), 2, 0).collect()}
+    east = {k: v for (ray, k), v in out.items() if ray == 7}  # +x, dy=0
+    assert east[1]["visible"] is True        # flat start visible
+    assert east[2]["visible"] is False       # equal angle ties occlude
+    assert east[3]["visible"] is True        # the wall towers above
+    assert east[4]["visible"] is False       # shadowed behind the wall
+    assert east[5]["visible"] is False
+    west = {k: v for (ray, k), v in out.items() if ray == 1}
+    assert west[1]["visible"] is True and west[2]["visible"] is False
+
+
+def test_viewshed_rising_staircase_all_visible(spark):
+    from hand_index_spark.operators.terrain import ray_viewshed
+
+    # strictly accelerating climb along +x: every step's angle beats
+    # the running max, so everything is visible
+    z = np.array([[0, 1, 4, 9, 16, 25]], dtype=np.int64)
+    out = {(r["ray"], r["k"]): r
+           for r in ray_viewshed(_grid_df(spark, z), 0, 0).collect()}
+    east = {k: v["visible"] for (ray, k), v in out.items() if ray == 7}
+    assert east == {1: True, 2: True, 3: True, 4: True, 5: True}
+
+
+def test_viewshed_eight_rays_partition(spark):
+    from hand_index_spark.operators.terrain import ray_viewshed
+
+    rng = np.random.default_rng(17)
+    z = rng.integers(0, 50, size=(9, 9)).astype(np.int64)
+    rows = ray_viewshed(_grid_df(spark, z), 4, 4).collect()
+    rays = {}
+    for r in rows:
+        rays.setdefault(r["ray"], []).append(r["k"])
+    assert len(rays) == 8 and 4 not in rays  # origin code never appears
+    for ks in rays.values():
+        assert sorted(ks) == [1, 2, 3, 4]
+
+
+def test_viewshed_oracle_parity(spark, con):
+    from hand_index_spark.entry_queries_r5d import GEO5D, ORACLES5D
+
+    assert_match(GEO5D["ray_viewshed"](spark, SF), ORACLES5D["ray_viewshed"],
+                 con, "ray_viewshed")
