@@ -770,6 +770,16 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    # viewshed: pure-filter ray membership + one window; the only join
+    # is the broadcast of the 1-row observer elevation
+    audit(
+        "ray_viewshed",
+        _GEO5D["ray_viewshed"],
+        expect=("Window", "PushedFilters"),
+        forbid=("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
