@@ -729,3 +729,10 @@ from .entry_queries_r5d import GEO5D, ORACLES5D, TEXT5D  # noqa: E402
 GEO_QUERIES.update(GEO5D)
 TEXTOPS.update(TEXT5D)
 ORACLES.update(ORACLES5D)
+
+
+from .entry_queries_r5e import GEO5E, ORACLES5E, TEXT5E  # noqa: E402
+
+GEO_QUERIES.update(GEO5E)
+TEXTOPS.update(TEXT5E)
+ORACLES.update(ORACLES5E)

@@ -35,6 +35,16 @@ raster-side computation itself is expressed in Catalyst:
   guarantees f^k(c) is the FIRST drainage cell on the path. Cells
   whose 2^J-step image is not drainage (pit basins, truncated paths)
   are omitted — the oracle composes the identical recurrence.
+
+- **Strahler stream order**: the classic stream-network hierarchy on
+  the D8 forest — headwater cells are order 1; a cell's order is the
+  max of its upstream orders, +1 when two or more upstream cells tie
+  at that max. Computed as synchronized Jacobi rounds from the all-1
+  state (``strahler_order``); each round is one keyed shuffle over
+  the edges plus a two-level max-of-(order,count) aggregate. The
+  recurrence is monotone and converges once ``rounds`` >= the forest
+  depth (tests pin the fixpoint); the oracle replays the identical
+  bounded recurrence so Spark/DuckDB agree at ANY round count.
 """
 
 from __future__ import annotations
@@ -181,6 +191,63 @@ def flow_accumulation(flow: DataFrame, rounds: int) -> DataFrame:
         if r < rounds - 1:
             acc = acc.localCheckpoint(eager=True)
     return cells.join(acc, "c").select("gx", "gy", "acc")
+
+
+def strahler_order(flow: DataFrame, rounds: int) -> DataFrame:
+    """``flow`` = d8_flow output -> (gx, gy, sorder): Strahler order of
+    every cell in the D8 forest after ``rounds`` synchronized updates
+    from the all-1 state (exact Strahler once ``rounds`` >= forest
+    depth; tests pin the fixpoint).
+
+    Update rule per cell c with upstream orders U: let m = max(U) and
+    k = |{u in U : order(u) = m}|; order'(c) = m + 1 if k >= 2 else m
+    (headwaters, U empty, stay 1). The (m, k) pair is one
+    groupBy(child, order).count() followed by max(struct(order, k)) —
+    (v, order) is unique so the struct max is deterministic."""
+    edges = (
+        flow.where(F.col("dir") > 0)
+        .select(
+            _key(F.col("gx"), F.col("gy")).alias("u"),
+            _key(F.col("tx"), F.col("ty")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells = flow.select(
+        "gx", "gy", _key(F.col("gx"), F.col("gy")).alias("c")
+    )
+    ordr = cells.select("c", F.lit(1).cast("long").alias("sorder"))
+    ordr = ordr.localCheckpoint(eager=True)
+    for r in range(rounds):
+        per = (
+            edges.join(ordr, edges.u == ordr.c)
+            .groupBy("v", "sorder")
+            .agg(F.count("*").alias("k"))
+        )
+        best = per.groupBy("v").agg(
+            F.max(F.struct("sorder", "k")).alias("m")
+        )
+        nxt = best.select(
+            F.col("v").alias("c"),
+            (
+                F.col("m.sorder")
+                + F.when(F.col("m.k") >= 2, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("sorder"),
+        )
+        ordr = (
+            cells.select("c")
+            .join(nxt, "c", "left")
+            .select(
+                "c",
+                F.coalesce(F.col("sorder"), F.lit(1))
+                .cast("long")
+                .alias("sorder"),
+            )
+        )
+        if r < rounds - 1:
+            ordr = ordr.localCheckpoint(eager=True)
+    return cells.join(ordr, "c").select("gx", "gy", "sorder")
 
 
 def hand_height(flow: DataFrame, drain_max_elev: int, doublings: int) -> DataFrame:

@@ -780,6 +780,61 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5e import GEO5E as _GEO5E
+    from hand_index_spark.entry_queries_r5e import TEXT5E as _TEXT5E
+
+    # hilbert encode: pure chained projections — a codec, so NO
+    # shuffle, NO join, NO Python anywhere in the plan
+    audit(
+        "hilbert_encode",
+        _GEO5E["hilbert_encode"],
+        expect=("[codegen id :",),
+        forbid=("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # strahler: per-round keyed shuffles over the EDGES (shuffled hash
+    # join like the other hydrology recurrences), never a cross product
+    audit(
+        "strahler_order",
+        _GEO5E["strahler_order"],
+        expect=("ShuffledHashJoin",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # staypoints / interval coverage: pure window pipelines — one
+    # partition sort per user stream, zero joins
+    audit(
+        "staypoint_detect",
+        _GEO5E["staypoint_detect"],
+        expect=("Window",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    audit(
+        "interval_coverage",
+        _TEXT5E["interval_coverage"],
+        expect=("Window", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # MAD outliers: the two tiny per-group stats must broadcast back
+    # onto the stream — no shuffle of the big side for the join
+    audit(
+        "mad_outliers",
+        _TEXT5E["mad_outliers"],
+        expect=("BroadcastHashJoin",),
+        forbid=("SortMergeJoin", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # cell dilation: distinct + Generate + hash aggregate, NO join at
+    # all — cost is |cover| * 9 at any scale
+    audit(
+        "cell_dilate_cover",
+        _GEO5E["cell_dilate_cover"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

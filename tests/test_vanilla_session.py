@@ -44,6 +44,11 @@ KEYS = [
     # without Arrow)
     "snap_points",
     "hillshade_stats",
+    # round-5e: staypoint/interval use the unix_micros(cast) epoch
+    # idiom (session-timezone-sensitive output), mad_outliers leans on
+    # percentile() interpolation exactness
+    "staypoint_detect",
+    "mad_outliers",
 ]
 
 
