@@ -126,6 +126,112 @@ _register(GEO5E, "strahler_order", _q_strahler, _strahler_sql())
 
 
 # --------------------------------------------------------------------------
+# Watershed delineation (operators/hydrology.py): every cell labeled
+# with the pit/outlet its D8 path terminates at, via the HAND-style
+# absorbing pointer doubling (6 self-joins cover 64-step paths on the
+# valley DEM whose longest path is ~31 — fixpoint pytest-pinned). The
+# oracle composes the identical next-pointer function round by round.
+
+_WS_J = 6
+
+
+def _q_watershed(spark, sf_dir):
+    from .entry_queries_r5c import _dem_cells
+    from .operators.hydrology import d8_flow, watershed_label
+
+    return watershed_label(
+        d8_flow(_dem_cells(spark, sf_dir, valley=True)), _WS_J
+    )
+
+
+def _watershed_sql() -> str:
+    from .entry_queries_r5c import _VALLEY_SQL, _d8_cte
+
+    head = f"""
+    WITH {_d8_cte(_VALLEY_SQL)},
+    n0 AS (
+      SELECT gx * 2097152 + gy AS c, gx, gy, dir = 0 AS pit,
+             CASE WHEN dir = 0 THEN gx * 2097152 + gy
+                  ELSE tx * 2097152 + ty END AS nxt
+      FROM flowdir
+    ),
+    s0 AS (SELECT c, nxt AS r FROM n0)"""
+    parts = [head]
+    for j in range(1, _WS_J + 1):
+        parts.append(f""",
+    s{j} AS (SELECT a.c, b.r FROM s{j - 1} a JOIN s{j - 1} b ON b.c = a.r)""")
+    parts.append(f"""
+    SELECT n.gx, n.gy, p.gx AS basin_gx, p.gy AS basin_gy
+    FROM s{_WS_J} s
+    JOIN n0 p ON p.c = s.r AND p.pit
+    JOIN n0 n ON n.c = s.c
+    """)
+    return "".join(parts)
+
+
+_register(GEO5E, "watershed_label", _q_watershed, _watershed_sql())
+
+
+# --------------------------------------------------------------------------
+# Hilbert-clustered pruned read: the layout half of the Hilbert story —
+# documents as a 32x16 grid, rewritten Hilbert-range-clustered into 8
+# files with zone maps on BOTH columns, then a 2-D box read through the
+# conjunctive zone-map planner. The box x in [8,15], y in [0,7] is an
+# ALIGNED 8x8 block, and the Hilbert curve fills every aligned
+# power-of-two block contiguously -> its 64 keys intersect at most 2 of
+# the 8 range-partitioned files under ANY range-boundary sampling, so
+# `pruned` is layout-guaranteed (the zorder_pruned_read protocol). The
+# Hilbert key of the box rides along (min/max) so the driver compare
+# pins the bit-walk arithmetic, not just the row set.
+
+
+def _q_hilbert_pruned(spark, sf_dir):
+    from .entry_queries_r2 import _fresh_dir
+    from .operators.hilbert import cluster_hilbert, with_hilbert
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("icelite_hilbert_")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("x"),
+        F.expr("doc_id div 32").alias("y"),
+    )
+    t = IceliteTable(root, "grid")
+    t.write(cluster_hilbert(d, "x", "y", n_files=8), stats_cols=["x", "y"])
+    preds = [("x", 8, 15), ("y", 0, 7)]
+    files, total = t.pruned_files_multi(spark, preds)
+    box = with_hilbert(t.read_pruned_multi(spark, preds), "x", "y", out="hk")
+    return box.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+        F.min("hk").alias("hk_min"),
+        F.max("hk").alias("hk_max"),
+    ).withColumn("pruned", F.lit(len(files) < total))
+
+
+def _hilbert_pruned_sql() -> str:
+    from .operators.hilbert import hilbert_sql
+
+    inner = hilbert_sql(
+        """SELECT doc_id, doc_id % 32 AS x, doc_id // 32 AS y
+           FROM documents
+           WHERE doc_id % 32 BETWEEN 8 AND 15 AND doc_id // 32 BETWEEN 0 AND 7""",
+        ["doc_id", "x", "y"],
+        "x",
+        "y",
+        out="hk",
+    )
+    return f"""
+    SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           min(hk) AS hk_min, max(hk) AS hk_max, TRUE AS pruned
+    FROM ({inner})
+    """
+
+
+_register(GEO5E, "hilbert_pruned_read", _q_hilbert_pruned, _hilbert_pruned_sql())
+
+
+# --------------------------------------------------------------------------
 # Stay-point detection over the events trajectory: maximal runs of >= 3
 # consecutive slow steps (squared planar step distance <= R^2, exact
 # BIGINT). The trajectory generator parks each track on an epoch

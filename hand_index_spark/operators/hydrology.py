@@ -193,6 +193,44 @@ def flow_accumulation(flow: DataFrame, rounds: int) -> DataFrame:
     return cells.join(acc, "c").select("gx", "gy", "acc")
 
 
+def watershed_label(flow: DataFrame, doublings: int) -> DataFrame:
+    """``flow`` = d8_flow output -> (gx, gy, basin_gx, basin_gy):
+    every cell labeled with the PIT/OUTLET its D8 path terminates at —
+    watershed (drainage-basin) delineation. Only pits absorb
+    (``next = self`` iff dir = 0), so pointer doubling composes to the
+    terminal cell; J self-joins cover 2^J-step paths, and once
+    2^J >= the longest path EVERY cell is labeled (tests pin the
+    fixpoint). The oracle replays the identical composition."""
+    nodes = flow.select(
+        _key(F.col("gx"), F.col("gy")).alias("c"),
+        "gx", "gy",
+        (F.col("dir") == 0).alias("pit"),
+        F.when(F.col("dir") == 0, _key(F.col("gx"), F.col("gy")))
+        .otherwise(_key(F.col("tx"), F.col("ty")))
+        .alias("nxt"),
+    ).localCheckpoint(eager=True)
+
+    state = nodes.select("c", F.col("nxt").alias("r"))
+    for j in range(doublings):
+        hop = state.select(F.col("c").alias("c2"), F.col("r").alias("r2"))
+        state = state.join(hop, state.r == hop.c2).select(
+            "c", F.col("r2").alias("r")
+        )
+        if j < doublings - 1:
+            state = state.localCheckpoint(eager=True)
+
+    pits = nodes.where(F.col("pit")).select(
+        F.col("c").alias("pc"),
+        F.col("gx").alias("basin_gx"),
+        F.col("gy").alias("basin_gy"),
+    )
+    return (
+        state.join(pits, state.r == pits.pc)
+        .join(nodes.select("c", "gx", "gy"), "c")
+        .select("gx", "gy", "basin_gx", "basin_gy")
+    )
+
+
 def strahler_order(flow: DataFrame, rounds: int) -> DataFrame:
     """``flow`` = d8_flow output -> (gx, gy, sorder): Strahler order of
     every cell in the D8 forest after ``rounds`` synchronized updates

@@ -834,6 +834,25 @@ def main() -> None:
         forbid=("Join", "CartesianProduct", "ArrowEvalPython",
                 "BatchEvalPython"),
     )
+    # watershed: pointer-doubling self-joins (log rounds) over the
+    # checkpointed state (Scan ExistingRDD, the hand_height protocol);
+    # never a cross product, zero Python
+    audit(
+        "watershed_label",
+        _GEO5E["watershed_label"],
+        expect=("Scan ExistingRDD",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # hilbert-clustered pruned read: the aggregate over the pruned box
+    # must stay pure codegen (the bit-walk is chained projections)
+    audit(
+        "hilbert_pruned_read",
+        _GEO5E["hilbert_pruned_read"],
+        expect=("HashAggregate",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
 
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never

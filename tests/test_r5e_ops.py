@@ -347,3 +347,73 @@ def test_cell_dilate_oracle(spark, con):
         con,
         "cell_dilate_cover",
     )
+
+
+# ---------------------------------------------------------------- watershed
+
+
+def test_watershed_fixpoint_and_totality(spark):
+    # 2^6 = 64 >= the valley DEM's longest D8 path (~31): every cell is
+    # labeled, one extra doubling changes nothing, and every label is a
+    # pit that drains to itself.
+    from hand_index_spark.entry_queries_r5c import _dem_cells
+    from hand_index_spark.entry_queries_r5e import _WS_J
+    from hand_index_spark.operators.hydrology import d8_flow, watershed_label
+
+    flow = d8_flow(_dem_cells(spark, SF, valley=True)).localCheckpoint()
+    a = sorted(
+        (r.gx, r.gy, r.basin_gx, r.basin_gy)
+        for r in watershed_label(flow, _WS_J).collect()
+    )
+    b = sorted(
+        (r.gx, r.gy, r.basin_gx, r.basin_gy)
+        for r in watershed_label(flow, _WS_J + 1).collect()
+    )
+    assert a == b
+    n_cells = flow.count()
+    assert len(a) == n_cells  # total: every cell reaches a pit
+    pits = {(r.gx, r.gy) for r in flow.where("dir = 0").collect()}
+    assert {(bx, by) for _, _, bx, by in a} <= pits
+    assert len({(bx, by) for _, _, bx, by in a}) >= 2  # >1 real basin
+
+
+def test_watershed_oracle(spark, con):
+    from hand_index_spark.entry_queries_r5e import GEO5E, ORACLES5E
+
+    assert_match(
+        GEO5E["watershed_label"](spark, SF),
+        ORACLES5E["watershed_label"],
+        con,
+        "watershed_label",
+    )
+
+
+# ---------------------------------------------------------------- hilbert IO
+
+
+def test_hilbert_aligned_block_is_contiguous():
+    # the layout guarantee hilbert_pruned_read leans on: an ALIGNED
+    # power-of-two block's keys form one contiguous run — at several
+    # block sizes and positions, not just the query's box.
+    from hand_index_spark.operators.hilbert import hilbert_py
+
+    for size, (bx, by) in [(8, (1, 0)), (8, (2, 1)), (4, (5, 3)), (16, (1, 1))]:
+        ks = sorted(
+            hilbert_py(x, y, 16)
+            for x in range(bx * size, (bx + 1) * size)
+            for y in range(by * size, (by + 1) * size)
+        )
+        assert ks[-1] - ks[0] == size * size - 1, (size, bx, by)
+
+
+def test_hilbert_pruned_read_skips_and_matches(spark, con):
+    from hand_index_spark.entry_queries_r5e import GEO5E, ORACLES5E
+
+    row = GEO5E["hilbert_pruned_read"](spark, SF).collect()[0]
+    assert row.pruned  # files were genuinely skipped
+    assert_match(
+        GEO5E["hilbert_pruned_read"](spark, SF),
+        ORACLES5E["hilbert_pruned_read"],
+        con,
+        "hilbert_pruned_read",
+    )
