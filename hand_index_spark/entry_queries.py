@@ -736,3 +736,10 @@ from .entry_queries_r5e import GEO5E, ORACLES5E, TEXT5E  # noqa: E402
 GEO_QUERIES.update(GEO5E)
 TEXTOPS.update(TEXT5E)
 ORACLES.update(ORACLES5E)
+
+
+from .entry_queries_r5f import GEO5F, ORACLES5F, TEXT5F  # noqa: E402
+
+GEO_QUERIES.update(GEO5F)
+TEXTOPS.update(TEXT5F)
+ORACLES.update(ORACLES5F)

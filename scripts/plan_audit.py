@@ -854,6 +854,42 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5f import GEO5F as _GEO5F
+    from hand_index_spark.entry_queries_r5f import TEXT5F as _TEXT5F
+
+    # SCD2 + OD matrix: pure window pipelines, zero joins
+    audit(
+        "scd2_intervals",
+        _TEXT5F["scd2_intervals"],
+        expect=("Window",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    audit(
+        "od_matrix",
+        _GEO5F["od_matrix"],
+        expect=("Window", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # proration: ONE keyed join of lineitem->orders + windows, no
+    # cross product; EWMA: the fold runs inside Catalyst aggregate()
+    # (ObjectHashAggregate on the collected list), zero Python
+    audit(
+        "prorate_cents",
+        _TEXT5F["prorate_cents"],
+        expect=("Window",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    audit(
+        "ewma_smooth",
+        _TEXT5F["ewma_smooth"],
+        expect=("Aggregate",),
+        forbid=("Join", "CartesianProduct", "Window", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
