@@ -70,12 +70,20 @@ DRIVER_SAMPLE_ORDER = [
     # dedup / decontamination
     "exact_dedup", "lsh_dup_pairs",
     "dedup_clusters", "decontam_exact",
-    # embeddings / ANN
-    "embedding_topk", "ann_ivf_indexed", "ann_lsh_topk",
-    # text analysis (kneser_ney_score supersedes lm_score in the
-    # sample — same family, production smoothing; lm_score stays
+    # embeddings / ANN (ann_lsh_topk moved past the cut for the
+    # round-5g entity-resolution family — its LSH-banding bug class
+    # stays sampled via lsh_dup_pairs, and it remains
     # full-registry-verified)
-    "langid", "kneser_ney_score", "html_extract_text",
+    "embedding_topk", "ann_ivf_indexed",
+    # entity resolution (round-5g: blocked fuzzy join, a new family)
+    "fuzzy_name_join",
+    # text analysis (kneser_ney_score supersedes lm_score in the
+    # sample — same family, production smoothing; lm_score and langid
+    # stay full-registry-verified; langid's slot goes to the round-5g
+    # change-detection family)
+    "kneser_ney_score", "html_extract_text",
+    # change detection (round-5g: CUSUM as prefix-sum + running-min)
+    "cusum_changepoints",
     # geodesic + segment-overlay spatial joins (round-5b/5c families;
     # the planar distance_band_join twin stays full-registry-verified)
     "geodesic_band_join", "segment_intersect_join",

@@ -743,3 +743,12 @@ from .entry_queries_r5f import GEO5F, ORACLES5F, TEXT5F  # noqa: E402
 GEO_QUERIES.update(GEO5F)
 TEXTOPS.update(TEXT5F)
 ORACLES.update(ORACLES5F)
+
+
+# batch 5g (round 5): HITS link analysis, CUSUM change detection,
+# blocked fuzzy entity resolution, stream-static enrichment join
+from .entry_queries_r5g import GEO5G, ORACLES5G, TEXT5G  # noqa: E402
+
+GEO_QUERIES.update(GEO5G)
+TEXTOPS.update(TEXT5G)
+ORACLES.update(ORACLES5G)

@@ -890,6 +890,38 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5g import TEXT5G as _TEXT5G
+
+    # HITS: the final authority/hub join reads the CHECKPOINTED
+    # iterates (never re-derives the edge subtree from parquet);
+    # join-agg rounds only, no nested loops, no Python
+    audit(
+        "hits_scores",
+        _TEXT5G["hits_scores"],
+        expect=("Scan ExistingRDD",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython", "Scan parquet"),
+    )
+    # CUSUM: the closed form must be a pure window pipeline — zero
+    # joins (the sequential recursion rewritten as prefix-sum +
+    # running-min), one hash aggregate on top
+    audit(
+        "cusum_changepoints",
+        _TEXT5G["cusum_changepoints"],
+        expect=("Window", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # fuzzy join: blocking must be hash equi-joins + distinct —
+    # NEVER an all-pairs comparison
+    audit(
+        "fuzzy_name_join",
+        _TEXT5G["fuzzy_name_join"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

@@ -49,6 +49,11 @@ KEYS = [
     # percentile() interpolation exactness
     "staypoint_detect",
     "mad_outliers",
+    # round-5g driver-sample newcomers: cusum uses the epoch idiom
+    # plus two same-ordering window frames; fuzzy_name_join leans on
+    # levenshtein() agreement between engines
+    "cusum_changepoints",
+    "fuzzy_name_join",
 ]
 
 
