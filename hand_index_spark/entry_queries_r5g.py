@@ -384,3 +384,66 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Iceberg write-audit-publish (WAP) on icelite: stage a second document
+# batch on a branch pointer, prove readers of the published head cannot
+# see it, audit the staged rows in one aggregate pass, then fast-forward
+# `current` with a single atomic pointer swap. Extends the reference's
+# staging-table-then-upsert publish discipline (load.py:62-64,190-196)
+# to Iceberg's branch/audit/cherry-pick contract. The oracle recomputes
+# the post-publish per-lang aggregate plus the pre-publish row count
+# directly from the source table.
+
+
+def _q_wap_publish(spark, sf_dir):
+    from .tables.icelite import IceliteTable
+
+    root = _fresh_dir("icelite_wap_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = IceliteTable(root, "docs")
+    t.write(d.filter(F.col("doc_id") % 2 == 0), stage="v1", fingerprint="a")
+    # stage the odd half on a branch: current is NOT moved by this write
+    t.write(
+        d.filter(F.col("doc_id") % 2 == 1),
+        stage="v2",
+        fingerprint="b",
+        mode="append",
+        branch="audit",
+    )
+    pre_rows = t.read(spark).count()  # published readers: v1 only
+    audit = t.audit_branch(
+        spark,
+        "audit",
+        row_checks={
+            "doc_id_present": "doc_id IS NOT NULL AND doc_id >= 0",
+            "text_present": "text IS NOT NULL",
+        },
+    )
+    if not audit["pass"]:  # the WAP gate: never publish unaudited rows
+        raise AssertionError(f"audit failed: {audit}")
+    t.publish_branch("audit")
+    return (
+        t.read(spark)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_id"),
+        )
+        .withColumn("pre_publish_rows", F.lit(pre_rows).cast("long"))
+    )
+
+
+_register(
+    TEXT5G,
+    "wap_publish",
+    _q_wap_publish,
+    """
+    SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+                AS BIGINT) AS pre_publish_rows
+    FROM documents
+    GROUP BY lang
+    """,
+)

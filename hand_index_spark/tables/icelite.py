@@ -68,14 +68,48 @@ class IceliteTable:
 
     # ------------------------------------------------------------ snapshots
 
-    def current_snapshot(self) -> dict | None:
-        ptr = os.path.join(self.meta_dir, "current")
+    def _pointer_file(self, pointer: str) -> str:
+        # "current" is the published table head; any other name is a
+        # staging branch pointer (Iceberg's write-audit-publish refs)
+        name = pointer if pointer == "current" else f"branch-{pointer}"
+        return os.path.join(self.meta_dir, name)
+
+    def _head(self, pointer: str) -> dict | None:
+        ptr = self._pointer_file(pointer)
         if not os.path.exists(ptr):
             return None
         with open(ptr) as f:
             snap_file = f.read().strip()
         with open(os.path.join(self.meta_dir, snap_file)) as f:
             return json.load(f)
+
+    def current_snapshot(self) -> dict | None:
+        return self._head("current")
+
+    def _snap_by_id(self, sid: int) -> dict | None:
+        p = os.path.join(self.meta_dir, f"snap-{sid:06d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _next_sid(self) -> int:
+        # global monotonic id across ALL refs (main + branches): on a
+        # linear history this is exactly current+1, and the O_EXCL
+        # create in _commit_snapshot keeps it race-safe either way
+        sids = [
+            int(fn[5:-5])
+            for fn in os.listdir(self.meta_dir)
+            if fn.startswith("snap-") and fn.endswith(".json")
+        ]
+        return (max(sids) + 1) if sids else 0
+
+    def branches(self) -> list[str]:
+        return sorted(
+            fn[len("branch-"):]
+            for fn in os.listdir(self.meta_dir)
+            if fn.startswith("branch-")
+        )
 
     def snapshots(self) -> list[dict]:
         out = []
@@ -85,35 +119,57 @@ class IceliteTable:
                     out.append(json.load(f))
         return out
 
-    def _commit_snapshot(self, meta: dict) -> dict:
-        cur = self.current_snapshot()
-        sid = (cur["snapshot_id"] + 1) if cur else 0
-        meta = {
-            "snapshot_id": sid,
-            "parent_id": cur["snapshot_id"] if cur else None,
+    def _commit_snapshot(self, meta: dict, pointer: str = "current") -> dict:
+        # optimistic concurrency (CAS), Iceberg CommitFailedException
+        # semantics: the commit only lands if the target pointer still
+        # names the head this writer read. Snapshot ids are globally
+        # monotonic across refs; the O_EXCL snapshot-file create
+        # serializes id allocation, and the pointer re-check below
+        # rejects stale writers even when their id did not collide.
+        if pointer == "current":
+            expected = self.current_snapshot()
+            parent = expected["snapshot_id"] if expected else None
+        else:
+            expected = self._head(pointer)
+            # first write on a branch forks from the published head
+            fork = expected or self.current_snapshot()
+            parent = fork["snapshot_id"] if fork else None
+        expected_sid = expected["snapshot_id"] if expected else None
+        base = {
+            "parent_id": parent,
             "committed_ms": int(time.time() * 1000),
             **meta,
         }
-        snap_name = f"snap-{sid:06d}.json"
-        # optimistic concurrency (CAS): O_EXCL creation makes the
-        # snapshot file the commit token — two writers that both read
-        # parent sid-1 race for this create; the loser gets a clean
-        # conflict error instead of silently overwriting the winner's
-        # snapshot (its data dir stays unreferenced, nothing corrupts)
-        try:
-            with open(os.path.join(self.meta_dir, snap_name), "x") as f:
-                json.dump(meta, f, indent=1)
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                f"snapshot {sid} was committed by another writer; "
-                "re-read the table and retry the write"
-            ) from None
-        # atomic pointer swap: write temp then rename (POSIX atomic)
-        tmp = os.path.join(self.meta_dir, f".current.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(snap_name)
-        os.replace(tmp, os.path.join(self.meta_dir, "current"))
-        return meta
+        for _ in range(5):
+            sid = self._next_sid()
+            out = {"snapshot_id": sid, **base}
+            snap_name = f"snap-{sid:06d}.json"
+            path = os.path.join(self.meta_dir, snap_name)
+            try:
+                with open(path, "x") as f:
+                    json.dump(out, f, indent=1)
+            except FileExistsError:
+                live = self._head(pointer)
+                if (live["snapshot_id"] if live else None) == expected_sid:
+                    continue  # another REF took this id; re-allocate
+                raise ConcurrentWriteError(
+                    f"snapshot {sid} was committed by another writer; "
+                    "re-read the table and retry the write"
+                ) from None
+            live = self._head(pointer)
+            if (live["snapshot_id"] if live else None) != expected_sid:
+                os.remove(path)  # our token, safe to retract pre-publish
+                raise ConcurrentWriteError(
+                    f"{pointer!r} moved while this write ran; "
+                    "re-read the table and retry the write"
+                )
+            # atomic pointer swap: write temp then rename (POSIX atomic)
+            tmp = os.path.join(self.meta_dir, f".current.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(snap_name)
+            os.replace(tmp, self._pointer_file(pointer))
+            return out
+        raise ConcurrentWriteError("snapshot id allocation contention")
 
     # --------------------------------------------------------------- writes
 
@@ -129,10 +185,16 @@ class IceliteTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 4096,
         bloom_k: int = 4,
+        branch: str | None = None,
     ) -> dict:
         """Write df into a fresh data subdirectory, record lineage from
         the **committed files** (never by re-running the upstream plan),
         then publish atomically via the snapshot pointer swap.
+
+        ``branch="name"`` stages the snapshot on a branch pointer
+        instead of ``current`` (Iceberg write-audit-publish): readers of
+        the table see nothing until ``publish_branch`` fast-forwards
+        ``current``; ``audit_branch`` validates the staged rows first.
 
         ``mode="append"`` keeps the previous snapshot's directories in
         the new manifest; ``"overwrite"`` replaces them (the old dirs
@@ -153,8 +215,11 @@ class IceliteTable:
         spark = df.sparkSession
         committed = spark.read.parquet(out_dir)
         key = lineage_key if lineage_key in committed.columns else None
-        cur = self.current_snapshot()
-        sid = (cur["snapshot_id"] + 1) if cur else 0
+        pointer = "current" if branch is None else branch
+        cur = self._head(pointer)
+        if cur is None and branch is not None:
+            cur = self.current_snapshot()  # new branch forks the published head
+        sid = self._next_sid()
         # lineage rows are written EXECUTOR-SIDE (no toPandas bridge —
         # at millions of partitions the per-partition rows never touch
         # the driver, VERDICT r2 item 8); write_id ties the rows to this
@@ -272,9 +337,14 @@ class IceliteTable:
                 "bloom_cols": bloom_cols or [],
                 "bloom_bits": bloom_bits,
                 "bloom_k": bloom_k,
-            }
+                "branch": branch,
+            },
+            pointer=pointer,
         )
-        assert snap["snapshot_id"] == sid  # pointer swap is single-writer
+        # equality except under cross-ref id-allocation contention, where
+        # _commit_snapshot may re-allocate upward (lineage rows keep the
+        # planned sid; consumers key on write_id, never on lineage sid)
+        assert snap["snapshot_id"] >= sid
         return snap
 
     # ---------------------------------------------------------------- reads
@@ -292,6 +362,86 @@ class IceliteTable:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+
+    def read_branch(self, spark: SparkSession, branch: str) -> DataFrame:
+        """Read a staging branch's head snapshot (falls back to the
+        published head if the branch has no commits yet)."""
+        snap = self._head(branch) or self.current_snapshot()
+        paths = (snap or {}).get("data_paths")
+        if not paths:
+            return spark.read.parquet(self.data_dir)
+        dfs = [
+            spark.read.parquet(os.path.join(self.data_dir, p)) for p in paths
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    # -------------------------------------------------- write-audit-publish
+
+    def audit_branch(
+        self,
+        spark: SparkSession,
+        branch: str,
+        row_checks: dict[str, str] | None = None,
+        min_rows: int = 1,
+    ) -> dict:
+        """Validate a staged branch before publishing (the Iceberg WAP
+        audit step). ``row_checks`` maps check-name -> SQL boolean
+        expression that must hold for EVERY row; all checks run in ONE
+        aggregate pass (a single row reaches the driver, so the audit
+        costs one scan regardless of table size)."""
+        df = self.read_branch(spark, branch)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for name, pred in (row_checks or {}).items():
+            aggs.append(
+                F.sum(
+                    F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
+                ).alias(name)
+            )
+        row = df.agg(*aggs).collect()[0]
+        checks = {
+            name: int(row[name] or 0) == 0 for name in (row_checks or {})
+        }
+        checks["min_rows"] = int(row["__n"]) >= min_rows
+        return {
+            "pass": all(checks.values()),
+            "rows": int(row["__n"]),
+            "checks": checks,
+        }
+
+    def publish_branch(self, branch: str, drop_branch: bool = True) -> dict:
+        """Fast-forward ``current`` to the branch head (the WAP publish
+        step): a single atomic pointer swap, so readers flip from the
+        old table to the fully-audited new one with no partial state.
+        Refuses (ConcurrentWriteError) unless the published head is an
+        ancestor of the branch head — a diverged main means the branch
+        must be rewritten from the new head, exactly Iceberg's
+        fast-forward-only cherry-pick contract."""
+        head = self._head(branch)
+        if head is None:
+            raise ValueError(f"branch {branch!r} has no commits")
+        cur = self.current_snapshot()
+        node, ok = head, cur is None
+        while node is not None and not ok:
+            if node["snapshot_id"] == cur["snapshot_id"]:
+                ok = True
+                break
+            pid = node.get("parent_id")
+            node = self._snap_by_id(pid) if pid is not None else None
+        if not ok:
+            raise ConcurrentWriteError(
+                f"current moved past branch {branch!r}'s fork point; "
+                "rebuild the branch from the new head and re-audit"
+            )
+        tmp = os.path.join(self.meta_dir, f".current.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(f"snap-{head['snapshot_id']:06d}.json")
+        os.replace(tmp, self._pointer_file("current"))
+        if drop_branch:
+            os.remove(self._pointer_file(branch))
+        return head
 
     def read_incremental(
         self, spark: SparkSession, since_snapshot_id: int
@@ -621,6 +771,9 @@ class IceliteTable:
 
         snaps = self.snapshots()
         keep = snaps[-max(keep_last, 1):]
+        # staged (unpublished) branch heads are live refs: never expire
+        # them or reclaim their data mid-audit
+        keep += [h for b in self.branches() if (h := self._head(b))]
         keep_ids = {s["snapshot_id"] for s in keep}
         referenced = {p for s in keep for p in s.get("data_paths", [])}
         removed_dirs = []

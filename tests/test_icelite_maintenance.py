@@ -195,3 +195,51 @@ def test_model_based_op_sequence(spark, tmp_path):
             t.compact(spark, stage=f"c{step}")
         got = {r.k: r.v for r in t.read(spark).collect()}
         assert got == model, (step, op)
+
+
+def test_wap_branch_isolation_audit_publish(spark, tmp_path):
+    """Write-audit-publish: a branch write is invisible to published
+    readers, the audit gates on per-row predicates in one pass, and
+    publish is a fast-forward pointer swap."""
+    import pytest
+    from hand_index_spark.tables.icelite import ConcurrentWriteError
+
+    t = IceliteTable(str(tmp_path), "wap")
+    base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.write(base, stage="v1")
+    staged = spark.range(10, 15).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    )
+    t.write(staged, stage="v2", mode="append", branch="audit")
+    # isolation: current still sees only v1; the branch sees the union
+    assert t.read(spark).count() == 10
+    assert t.read_branch(spark, "audit").count() == 15
+    assert t.branches() == ["audit"]
+    # audit catches the staged nulls, and a pass-shaped check passes
+    bad = t.audit_branch(spark, "audit", row_checks={"v_ok": "v IS NOT NULL"})
+    assert not bad["pass"] and not bad["checks"]["v_ok"] and bad["rows"] == 15
+    ok = t.audit_branch(spark, "audit", row_checks={"k_ok": "k >= 0"})
+    assert ok["pass"]
+    # publish fast-forwards current; branch pointer is dropped
+    t.publish_branch("audit")
+    assert t.read(spark).count() == 15
+    assert t.branches() == []
+    # a diverged main refuses the fast-forward (stale branch head)
+    t.write(base, stage="v3", mode="append", branch="b2")
+    t.write(base.limit(1), stage="v4", mode="append")  # main moves on
+    with pytest.raises(ConcurrentWriteError, match="fork point"):
+        t.publish_branch("b2")
+
+
+def test_wap_branch_write_does_not_disturb_linear_history(spark, tmp_path):
+    """Snapshot ids stay globally monotonic across refs and a plain
+    main-branch write after a branch commit still lands cleanly."""
+    t = IceliteTable(str(tmp_path), "wapline")
+    base = spark.range(5).select(F.col("id").alias("k"))
+    s0 = t.write(base, stage="v1")
+    s1 = t.write(base, stage="staged", branch="x")
+    s2 = t.write(base, stage="v2", mode="append")
+    assert (s0["snapshot_id"], s1["snapshot_id"], s2["snapshot_id"]) == (0, 1, 2)
+    assert s1["parent_id"] == 0  # branch forked from the published head
+    assert s2["parent_id"] == 0  # main ignored the branch commit
+    assert t.read(spark).count() == 10

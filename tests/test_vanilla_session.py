@@ -54,6 +54,9 @@ KEYS = [
     # levenshtein() agreement between engines
     "cusum_changepoints",
     "fuzzy_name_join",
+    # WAP: pure parquet + pointer-file I/O, but its audit aggregate and
+    # per-lang publish read must behave identically without Arrow
+    "wap_publish",
 ]
 
 
