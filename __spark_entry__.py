@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (194 queries as of round 5) and EVERY one carries a DuckDB
+SURVEY.md §2 (203 queries as of round 5) and EVERY one carries a DuckDB
 oracle — including the geo assignment (the tile grid is closed-form
 arithmetic, tables/tilegrid.py), the trig-bearing transforms (via
 discretization-safe comparisons), iterative graph clustering (via a
@@ -10,8 +10,8 @@ recursive-CTE closure), stateful streaming (via batch parity), the
 no-broadcast join paths, temporal joins, sketches, and the icelite
 maintenance surface. Registry batches: entry_queries.py,
 entry_queries_ext.py, entry_queries_r2.py, entry_queries_r4.py,
-entry_queries_r5.py, entry_queries_r5b.py, entry_queries_r5c.py,
-entry_queries_r5d.py; see COVERAGE.md for the operator -> query map.
+entry_queries_r5.py, entry_queries_r5b.py through entry_queries_r5h.py;
+see COVERAGE.md for the operator -> query map.
 
 Session requirements: NONE. Every query runs green under a bare
 ``SparkSession.builder.getOrCreate()`` — no Arrow coercion, default
@@ -51,11 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # documented in COVERAGE.md.
 DRIVER_SAMPLE_ORDER = [
     # geo core (incl. every named north-rule operator)
+    # (round-5h: clip_to_tiles — the Sutherland-Hodgman tile-manifest
+    # clip, a new geometric-kernel family — takes quadkey_encode's
+    # slot; cell encoding stays sampled twice via cells_encode +
+    # s2_cells, and quadkey_encode remains full-registry-verified)
     "tile_assign", "tile_assign_joined", "spatial_join_generic",
     "knn_fallback", "cells_encode", "s2_cells", "albers_forward",
     "union_catchments", "overlap_refine", "roi_pip_filter",
     "wkb_roundtrip", "raster_corners", "hand_height",
-    "simplify_ring", "quadkey_encode", "union_overlap",
+    "simplify_ring", "clip_to_tiles", "union_overlap",
     # storage / icelite DML + lineage + zone-map file skipping
     "partitioned_roundtrip", "icelite_merge", "lineage_counts",
     "zonemap_pruned_read", "zorder_pruned_read", "matview_incremental",
@@ -77,6 +81,11 @@ DRIVER_SAMPLE_ORDER = [
     "embedding_topk", "ann_ivf_indexed",
     # entity resolution (round-5g: blocked fuzzy join, a new family)
     "fuzzy_name_join",
+    # data mixing (round-5h: DSIR hashed-unigram importance weights, a
+    # new LLM-pipeline family — takes sessionize's slot; sessionization
+    # stays sampled via stream_windowed's stateful-streaming twin and
+    # sessionize remains full-registry-verified)
+    "dsir_weights",
     # text analysis (kneser_ney_score supersedes lm_score in the
     # sample — same family, production smoothing; lm_score and langid
     # stay full-registry-verified; langid's slot goes to the round-5g
@@ -91,10 +100,9 @@ DRIVER_SAMPLE_ORDER = [
     "multimodal_decode", "jpeg_decode_stats",
     # sources (WARC archive cycle), graph, sketches
     "warc_roundtrip", "pagerank_links", "cms_heavy_hitters",
-    # sessionization, sketches, datetime surface
-    "sessionize",
-    # slot 51 — first key past the driver's 50-sample cut, still
+    # slot 51+ — first keys past the driver's 50-sample cut, still
     # full-registry-verified every round
+    "sessionize",
     "datetime_functions",
 ]
 

@@ -752,3 +752,12 @@ from .entry_queries_r5g import GEO5G, ORACLES5G, TEXT5G  # noqa: E402
 GEO_QUERIES.update(GEO5G)
 TEXTOPS.update(TEXT5G)
 ORACLES.update(ORACLES5G)
+
+
+# batch 5h (round 5): Sutherland-Hodgman tile clipping, Minkowski
+# buffer, DSIR importance weights, label-propagation communities
+from .entry_queries_r5h import GEO5H, ORACLES5H, TEXT5H  # noqa: E402
+
+GEO_QUERIES.update(GEO5H)
+TEXTOPS.update(TEXT5H)
+ORACLES.update(ORACLES5H)

@@ -1,0 +1,142 @@
+"""Polygon clipping to axis-aligned boxes — pure Catalyst.
+
+Sutherland-Hodgman clipping expressed entirely in higher-order
+functions over ``array<struct<x:double,y:double>>`` vertex rings: the
+four half-plane passes run as ONE ``F.aggregate`` fold over a 4-element
+half-plane descriptor array, so the whole clip is a single
+whole-stage-codegen projection — zero Python, zero UDFs, zero joins.
+This is the tiling primitive behind a tile-manifest builder (the
+reference's VRT/tile manifest walks raster footprints per tile,
+load.py:94-141): clip each footprint polygon to each covering tile and
+account the covered area per tile.
+
+Why a fold and not four chained expressions: naively composing
+``clip_halfplane(clip_halfplane(...))`` re-inlines the inner ring
+expression at every reference site (the ring appears ~3x per pass:
+``transform`` input, ``element_at`` lookup, ``size``), so four passes
+build a ~3^4-times-duplicated tree that stalls Catalyst analysis for
+minutes even on 500 rows (measured). Inside ``aggregate`` the
+accumulator ring is a *lambda variable* — a leaf, shared by reference —
+so the plan stays linear in the kernel size and compiles instantly.
+
+Scale shape (100 TB): the covering-tile explode is bounded by
+footprint extent / tile size (never by corpus size), the clip itself
+is per-row projection work, and the only shuffle is the final
+aggregation keyed on tile id — the same partition-bounded pattern as
+operators/spatial_join.py. Skewed tiles (many footprints over one
+city tile) are plain aggregation skew, handled by AQE / salting like
+any hot groupBy key.
+
+Exactness: with integer-valued coordinates and integer tile bounds,
+every Sutherland-Hodgman intersection point lands on exact float64
+values (crossings only occur on edges not parallel to the bound, so
+the interpolation parameter is finite; for axis-aligned subject edges
+the crossing coordinate IS the bound and the other coordinate is the
+shared endpoint value exactly), so the shoelace area is bit-exact
+against a closed-form oracle. General (non-axis-aligned) subjects are
+pytest-covered against hand-computed areas (tests/test_r5h_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POINT_T = "struct<x:double,y:double>"
+
+
+def _pt(x: Column, y: Column) -> Column:
+    return F.struct(x.alias("x"), y.alias("y"))
+
+
+def _clip_one(ring: Column, hp: Column) -> Column:
+    """One Sutherland-Hodgman pass of ``ring`` against half-plane ``hp``
+    = struct(ax int [0=x,1=y], s double [+1 keep>=, -1 keep<=], b double).
+
+    ``ring`` is expected to be a lambda variable (aggregate accumulator)
+    so its many reference sites stay cheap. For each directed edge
+    (a, bb): emit the edge/bound intersection when exactly one endpoint
+    is inside, then emit bb when bb is inside — the classic formulation,
+    with the 0-2 outputs per edge encoded as a null-filtered 2-array so
+    the whole pass is one ``flatten(transform(...))`` expression.
+    """
+    ax = hp.getField("ax")
+    s = hp.getField("s")
+    b = hp.getField("b")
+    n = F.size(ring)
+
+    def coord(p: Column) -> Column:
+        return F.when(ax == 0, p.getField("x")).otherwise(p.getField("y"))
+
+    def other(p: Column) -> Column:
+        return F.when(ax == 0, p.getField("y")).otherwise(p.getField("x"))
+
+    def emit(a: Column, bb: Column) -> Column:
+        av, bv = coord(a), coord(bb)
+        ao, bo = other(a), other(bb)
+        a_in = s * (av - b) >= 0
+        b_in = s * (bv - b) >= 0
+        # crossing point: the clipped-axis coord is the bound itself;
+        # the other coord interpolates along the edge (bv != av
+        # whenever a crossing is emitted, so t is finite)
+        t = (b - av) / (bv - av)
+        cross_o = ao + (bo - ao) * t
+        cross = F.when(ax == 0, _pt(b, cross_o)).otherwise(_pt(cross_o, b))
+        maybe_cross = F.when(a_in != b_in, cross)
+        maybe_b = F.when(b_in, bb)
+        return F.filter(F.array(maybe_cross, maybe_b), lambda p: p.isNotNull())
+
+    edges = F.transform(
+        ring,
+        lambda a, i: emit(a, F.element_at(ring, (i + F.lit(1)) % n + F.lit(1))),
+    )
+    return F.flatten(edges)
+
+
+def clip_halfplane(poly: Column, axis: str, keep_ge: bool, bound: Column) -> Column:
+    """Single half-plane clip (kept for direct use/tests): keep the part
+    of ``poly`` with ``axis >= bound`` (``keep_ge=True``) or <=."""
+    hp = F.struct(
+        F.lit(0 if axis == "x" else 1).alias("ax"),
+        F.lit(1.0 if keep_ge else -1.0).alias("s"),
+        bound.cast("double").alias("b"),
+    )
+    # run through the same fold machinery so `poly` is referenced once
+    return F.aggregate(F.array(hp), poly, _clip_one)
+
+
+def clip_to_box(
+    poly: Column, xmin: Column, xmax: Column, ymin: Column, ymax: Column
+) -> Column:
+    """Clip a vertex ring to [xmin,xmax] x [ymin,ymax]: four half-plane
+    passes folded in one ``aggregate`` (a codegen'd projection, no
+    shuffle, linear-size plan)."""
+
+    def hp(ax: int, s: float, b: Column) -> Column:
+        return F.struct(
+            F.lit(ax).alias("ax"), F.lit(s).alias("s"), b.cast("double").alias("b")
+        )
+
+    planes = F.array(
+        hp(0, 1.0, xmin), hp(0, -1.0, xmax), hp(1, 1.0, ymin), hp(1, -1.0, ymax)
+    )
+    return F.aggregate(planes, poly, _clip_one)
+
+
+def ring_area2(poly: Column) -> Column:
+    """Twice the signed shoelace area of a vertex ring (CCW positive).
+    Empty / degenerate rings (< 3 vertices) are 0. ``poly`` appears a
+    constant ~4 times in the plan — fine now that ``clip_to_box``
+    produces a linear-size expression."""
+    n = F.size(poly)
+    terms = F.transform(
+        poly,
+        lambda p, i: (
+            p.getField("x")
+            * F.element_at(poly, (i + F.lit(1)) % n + F.lit(1)).getField("y")
+            - F.element_at(poly, (i + F.lit(1)) % n + F.lit(1)).getField("x")
+            * p.getField("y")
+        ),
+    )
+    shoelace = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(n >= 3, shoelace).otherwise(F.lit(0.0))

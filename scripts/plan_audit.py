@@ -922,6 +922,54 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5h import GEO5H as _GEO5H
+    from hand_index_spark.entry_queries_r5h import TEXT5H as _TEXT5H
+
+    # Sutherland-Hodgman tile clip: the whole 4-pass clip is ONE
+    # codegen'd projection (the aggregate-fold form — the naive chained
+    # form exploded the plan 3^4x and stalled analysis); zero joins,
+    # zero Python; the only exchange is the final tile-keyed aggregate
+    audit(
+        "clip_to_tiles",
+        _GEO5H["clip_to_tiles"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # Minkowski buffer: hull construction is explode + the per-group
+    # vectorized Arrow hull kernel (FlatMapGroupsInPandas, the same
+    # applyInPandas path hull_stats always uses) — no nested loops, no
+    # row-at-a-time Python
+    audit(
+        "buffer_area",
+        _GEO5H["buffer_area"],
+        expect=("FlatMapGroupsInPandas", "Generate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython"),
+    )
+    # DSIR weights: token explode + TWO 64-row broadcast hash joins +
+    # doc-keyed aggregate; the 1-row totals attach via broadcast
+    # nested-loop by construction (bounded: 1x64), so only an actual
+    # CartesianProduct or Python eval is forbidden
+    audit(
+        "dsir_weights",
+        _TEXT5H["dsir_weights"],
+        expect=("BroadcastHashJoin", "HashAggregate"),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # label propagation: the returned frame must read the
+    # CHECKPOINTED final label state (each round's join-agg work is
+    # materialized per round, like hits_scores — never re-derived
+    # from parquet), no nested loops, no Python
+    audit(
+        "label_prop_communities",
+        _TEXT5H["label_prop_communities"],
+        expect=("Scan ExistingRDD",),
+        forbid=("Scan parquet", "CartesianProduct",
+                "BroadcastNestedLoopJoin", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

@@ -57,6 +57,12 @@ KEYS = [
     # WAP: pure parquet + pointer-file I/O, but its audit aggregate and
     # per-lang publish read must behave identically without Arrow
     "wap_publish",
+    # round-5h driver-sample newcomers: the clip fold must analyze and
+    # run without repo confs (its createDataFrame-free fixture is pure
+    # column arithmetic); dsir's token-hash + 64-row broadcasts must
+    # agree without Arrow
+    "clip_to_tiles",
+    "dsir_weights",
 ]
 
 
