@@ -761,3 +761,12 @@ from .entry_queries_r5h import GEO5H, ORACLES5H, TEXT5H  # noqa: E402
 GEO_QUERIES.update(GEO5H)
 TEXTOPS.update(TEXT5H)
 ORACLES.update(ORACLES5H)
+
+
+# batch 5i (round 5): concat-and-chunk sequence packing (two-phase
+# distributed prefix sum), lagged autocorrelation, fan triangulation
+from .entry_queries_r5i import GEO5I, ORACLES5I, TEXT5I  # noqa: E402
+
+GEO_QUERIES.update(GEO5I)
+TEXTOPS.update(TEXT5I)
+ORACLES.update(ORACLES5I)

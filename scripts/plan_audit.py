@@ -970,6 +970,43 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5i import GEO5I as _GEO5I
+    from hand_index_spark.entry_queries_r5i import TEXT5I as _TEXT5I
+
+    # sequence packing: the corpus-scale running sum must be the
+    # BUCKET-partitioned window (windowspecdefinition(bucket...)), the
+    # bucket offsets attach via broadcast, the chunk explode is
+    # Generate, and the chunk stats are one hash aggregate — no
+    # nested loops, no Python. (A single-partition global window over
+    # the corpus would be the 10^12-row killer; the only empty
+    # partition spec allowed is the #buckets-row offset frame.)
+    audit(
+        "pack_chunks",
+        _TEXT5I["pack_chunks"],
+        expect=("windowspecdefinition(bucket", "BroadcastHashJoin",
+                "Generate", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # autocorrelation: keyed lead window + hash aggregate per lag,
+    # union of the three lag frames — zero joins, zero Python
+    audit(
+        "acf_lags",
+        _TEXT5I["acf_lags"],
+        expect=("Window", "HashAggregate", "Union"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # fan triangulation: pure projection + Generate from Range — no
+    # parquet scan, no joins, no Python
+    audit(
+        "triangulate_mesh",
+        _GEO5I["triangulate_mesh"],
+        expect=("Generate", "Range"),
+        forbid=("Scan parquet", "Join", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
