@@ -770,3 +770,12 @@ from .entry_queries_r5i import GEO5I, ORACLES5I, TEXT5I  # noqa: E402
 GEO_QUERIES.update(GEO5I)
 TEXTOPS.update(TEXT5I)
 ORACLES.update(ORACLES5I)
+
+
+# batch 5j (round 5): per-lang token budgeting, Newman modularity of
+# the LPA partition, great-circle slerp waypoints
+from .entry_queries_r5j import GEO5J, ORACLES5J, TEXT5J  # noqa: E402
+
+GEO_QUERIES.update(GEO5J)
+TEXTOPS.update(TEXT5J)
+ORACLES.update(ORACLES5J)

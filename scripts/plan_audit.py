@@ -1007,6 +1007,39 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5j import GEO5J as _GEO5J
+    from hand_index_spark.entry_queries_r5j import TEXT5J as _TEXT5J
+
+    # token budgeting: the running sum partitions on lang (parallel),
+    # totals attach via broadcast — no corpus-scale single-partition
+    # window, no nested loops, no Python
+    audit(
+        "token_budget_mix",
+        _TEXT5J["token_budget_mix"],
+        expect=("windowspecdefinition(lang", "BroadcastHashJoin",
+                "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # modularity: keyed equi-joins + hash aggregates over the edge
+    # list and the checkpointed LPA labels — never all-pairs, no Python
+    audit(
+        "modularity_score",
+        _TEXT5J["modularity_score"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # great-circle waypoints: pure Range + Generate + trig projection —
+    # no parquet scan, no joins, no Python
+    audit(
+        "gc_waypoints",
+        _GEO5J["gc_waypoints"],
+        expect=("Generate", "Range"),
+        forbid=("Scan parquet", "Join", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
