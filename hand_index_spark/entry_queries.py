@@ -779,3 +779,12 @@ from .entry_queries_r5j import GEO5J, ORACLES5J, TEXT5J  # noqa: E402
 GEO_QUERIES.update(GEO5J)
 TEXTOPS.update(TEXT5J)
 ORACLES.update(ORACLES5J)
+
+
+# batch 5k (round 5): inverted-index postings build, per-lang Merkle
+# corpus root, golden-record survivorship
+from .entry_queries_r5k import GEO5K, ORACLES5K, TEXT5K  # noqa: E402
+
+GEO_QUERIES.update(GEO5K)
+TEXTOPS.update(TEXT5K)
+ORACLES.update(ORACLES5K)

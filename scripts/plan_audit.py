@@ -1040,6 +1040,38 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5k import TEXT5K as _TEXT5K
+
+    # postings build: explode + distinct + ONE term-keyed aggregate
+    # (sort_array inside the agg keeps it order-free) — no joins, no
+    # Python
+    audit(
+        "postings_build",
+        _TEXT5K["postings_build"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # merkle root: 12 pairing rounds, each ONE lang+pos-keyed hash
+    # aggregate (ObjectHashAggregate for min_by/max_by) — the only
+    # join is the final tiny per-lang doc-count attach; no Python
+    audit(
+        "merkle_root",
+        _TEXT5K["merkle_root"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # survivorship: two hash aggregates + one keyed join — order-free
+    # struct-min election, no windows over the corpus, no Python
+    audit(
+        "survivorship_golden",
+        _TEXT5K["survivorship_golden"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
