@@ -788,3 +788,21 @@ from .entry_queries_r5k import GEO5K, ORACLES5K, TEXT5K  # noqa: E402
 GEO_QUERIES.update(GEO5K)
 TEXTOPS.update(TEXT5K)
 ORACLES.update(ORACLES5K)
+
+
+# batch 5l (round 5): LTTB downsampling, storage-encoding advisor
+# (two-phase run detection), last-touch attribution
+from .entry_queries_r5l import GEO5L, ORACLES5L, TEXT5L  # noqa: E402
+
+GEO_QUERIES.update(GEO5L)
+TEXTOPS.update(TEXT5L)
+ORACLES.update(ORACLES5L)
+
+
+# batch 5m (round 5): bitmap-index set algebra, JSONL roundtrip,
+# Pareto skyline
+from .entry_queries_r5m import GEO5M, ORACLES5M, TEXT5M  # noqa: E402
+
+GEO_QUERIES.update(GEO5M)
+TEXTOPS.update(TEXT5M)
+ORACLES.update(ORACLES5M)

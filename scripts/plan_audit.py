@@ -1072,6 +1072,60 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5l import TEXT5L as _TEXT5L
+
+    # LTTB: user-partitioned windows + keyed join + struct-max argmax
+    # — never all-pairs, no Python
+    audit(
+        "lttb_downsample",
+        _TEXT5L["lttb_downsample"],
+        expect=("windowspecdefinition(user_id", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # encoding advisor: the per-value window partitions on
+    # (col_name, bucket) — the corpus-scale scan is range-decomposed;
+    # the only unpartitioned window is the per-bucket boundary frame
+    audit(
+        "encoding_advisor",
+        _TEXT5L["encoding_advisor"],
+        expect=("windowspecdefinition(col_name", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # attribution: ONE user-keyed running window (struct-carried click,
+    # the as-of idiom) + one aggregate — zero joins, no Python
+    audit(
+        "attribution_last_touch",
+        _TEXT5L["attribution_last_touch"],
+        expect=("windowspecdefinition(user_id", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
+    from hand_index_spark.entry_queries_r5m import TEXT5M as _TEXT5M
+
+    # bitmap algebra: word-keyed equi-join of the tiny word tables +
+    # popcount aggregates; cardinalities attach via broadcast — never
+    # a row-level join of the underlying doc sets, no Python
+    audit(
+        "bitmap_index_ops",
+        _TEXT5M["bitmap_index_ops"],
+        expect=("HashAggregate", "BroadcastHashJoin"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # skyline: the corpus-scale window partitions on the local-pass
+    # bucket; the only unpartitioned window runs over the surviving
+    # frontier — no joins at all, no Python
+    audit(
+        "dominance_skyline",
+        _TEXT5M["dominance_skyline"],
+        expect=("windowspecdefinition(bucket",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hand_index_spark.session import get_spark  # noqa: E402
 
-CLIP_N = int(os.environ.get("SPARK_GRAFT_CLIP_N", 8_000_000))
+CLIP_N = int(os.environ.get("SPARK_GRAFT_CLIP_N", 2_000_000))
 PACK_N = int(os.environ.get("SPARK_GRAFT_PACK_N", 32_000_000))
 PACK_SPAN = int(os.environ.get("SPARK_GRAFT_PACK_SPAN", 4096))
 LPA_N = int(os.environ.get("SPARK_GRAFT_LPA_N", 4_000_000))
@@ -75,7 +75,7 @@ def stress_clip(spark):
         (8 + (F.col("id") % 5) * 23).cast("double").alias("w"),
         (8 + ((F.col("id") * 7) % 5) * 23).cast("double").alias("h"),
     ).select(
-        "fid", "x1", "y1",
+        "fid", "x1", "y1", "w", "h",
         (F.col("x1") + F.col("w")).alias("x2"),
         (F.col("y1") + F.col("h")).alias("y2"),
     )
@@ -126,22 +126,24 @@ def stress_clip(spark):
         F.count(F.lit(1)).alias("n_tiles"),
     ).collect()[0]
     wall = time.time() - t0
-    # conservation oracles, computed with INDEPENDENT arithmetic
+    # conservation oracles, computed with INDEPENDENT arithmetic.
+    # positive-width tiles along an axis with INTEGER bounds run from
+    # floor(x1/T) to floor((x2-1)/T): a footprint whose edge lands
+    # flush on a tile boundary contributes a zero-width piece to the
+    # next tile, which the clip side filters with piece_area2 > 0.
+    # (all sums are integers < 2^53, so the double sums are exact in
+    # any order)
     want = r.select(
         F.sum(F.lit(2.0) * F.col("w") * F.col("h")).alias("a2"),
         F.sum(
-            (F.floor(F.col("x2") / tl) - F.floor(F.col("x1") / tl) + 1)
-            * (F.floor(F.col("y2") / tl) - F.floor(F.col("y1") / tl) + 1)
+            (F.floor((F.col("x2") - 1) / tl) - F.floor(F.col("x1") / tl) + 1)
+            * (F.floor((F.col("y2") - 1) / tl) - F.floor(F.col("y1") / tl) + 1)
         ).alias("pieces"),
     ).collect()[0]
     assert got.tot_a2 == want.a2, (got.tot_a2, want.a2)
-    # pieces with zero area (edge-touching) are filtered on the clip
-    # side; the fixture's 8..100 unit footprints at 73/131 strides
-    # never land flush on a 64-boundary with zero overlap, so counts
-    # must agree exactly
     assert got.tot_pieces == want.pieces, (got.tot_pieces, want.pieces)
     print(json.dumps({
-        "section": "clip_8m", "rows": CLIP_N, "pieces": int(got.tot_pieces),
+        "section": "clip", "rows": CLIP_N, "pieces": int(got.tot_pieces),
         "tiles": int(got.n_tiles), "wall_s": round(wall, 2),
         "rows_per_s": int(CLIP_N / wall), "conservation": "exact",
     }))
