@@ -806,3 +806,12 @@ from .entry_queries_r5m import GEO5M, ORACLES5M, TEXT5M  # noqa: E402
 GEO_QUERIES.update(GEO5M)
 TEXTOPS.update(TEXT5M)
 ORACLES.update(ORACLES5M)
+
+
+# batch 5n (round 5): k-anonymity audit, A/B two-proportion z-test,
+# Heaps-law vocabulary growth
+from .entry_queries_r5n import GEO5N, ORACLES5N, TEXT5N  # noqa: E402
+
+GEO_QUERIES.update(GEO5N)
+TEXTOPS.update(TEXT5N)
+ORACLES.update(ORACLES5N)

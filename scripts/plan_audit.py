@@ -1126,6 +1126,36 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5n import TEXT5N as _TEXT5N
+
+    # k-anonymity: two hash aggregates + a 1-row broadcast total +
+    # bounded k explode — no nested loops beyond the 1-row scalar
+    # attach, no Python
+    audit(
+        "k_anonymity_audit",
+        _TEXT5N["k_anonymity_audit"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # A/B z-test: two hash aggregates + a 1-row broadcast attach —
+    # the only nested loop is the deliberate 1x1 scalar join
+    audit(
+        "ab_test_ztest",
+        _TEXT5N["ab_test_ztest"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # vocabulary growth: one token scan, one term-keyed min-aggregate,
+    # bounded threshold explode, keyed join of two tiny curves — no
+    # per-k rescans (exactly one parquet scan in the plan), no Python
+    audit(
+        "zipf_vocab_growth",
+        _TEXT5N["zipf_vocab_growth"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
