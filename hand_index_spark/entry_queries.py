@@ -815,3 +815,12 @@ from .entry_queries_r5n import GEO5N, ORACLES5N, TEXT5N  # noqa: E402
 GEO_QUERIES.update(GEO5N)
 TEXTOPS.update(TEXT5N)
 ORACLES.update(ORACLES5N)
+
+
+# batch 5o (round 5): event-bigram sequence mining, exact equi-width
+# value histogram
+from .entry_queries_r5o import GEO5O, ORACLES5O, TEXT5O  # noqa: E402
+
+GEO_QUERIES.update(GEO5O)
+TEXTOPS.update(TEXT5O)
+ORACLES.update(ORACLES5O)

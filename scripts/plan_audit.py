@@ -1156,6 +1156,26 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5o import TEXT5O as _TEXT5O
+
+    # sequence mining: one keyed lead window + one hash aggregate —
+    # zero joins, no Python
+    audit(
+        "event_bigram_mining",
+        _TEXT5O["event_bigram_mining"],
+        expect=("windowspecdefinition(user_id", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # histogram: ONE hash aggregate over a projection — nothing else
+    audit(
+        "value_histogram",
+        _TEXT5O["value_histogram"],
+        expect=("HashAggregate",),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

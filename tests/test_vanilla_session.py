@@ -63,6 +63,11 @@ KEYS = [
     # agree without Arrow
     "clip_to_tiles",
     "dsir_weights",
+    # round-5l/5m epoch-and-sink bug classes: attribution uses the
+    # unix_micros(cast) idiom (only DIFFERENCES, so offset-invariant —
+    # this pins that); jsonl writes and re-reads text outside parquet
+    "attribution_last_touch",
+    "jsonl_roundtrip",
 ]
 
 
