@@ -824,3 +824,12 @@ from .entry_queries_r5o import GEO5O, ORACLES5O, TEXT5O  # noqa: E402
 GEO_QUERIES.update(GEO5O)
 TEXTOPS.update(TEXT5O)
 ORACLES.update(ORACLES5O)
+
+
+# batch 5p (round 5): model evaluation — langid confusion matrix,
+# bbox IoU report, calibration reliability bins
+from .entry_queries_r5p import GEO5P, ORACLES5P, TEXT5P  # noqa: E402
+
+GEO_QUERIES.update(GEO5P)
+TEXTOPS.update(TEXT5P)
+ORACLES.update(ORACLES5P)

@@ -1176,6 +1176,36 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5p import GEO5P as _GEO5P
+    from hand_index_spark.entry_queries_r5p import TEXT5P as _TEXT5P
+
+    # confusion matrix: aggregates + one tiny per-class keyed join —
+    # the voting rule stays in codegen (HOF filter), no Python
+    audit(
+        "langid_confusion",
+        _TEXT5P["langid_confusion"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # IoU report: pure projection + ONE aggregate — no joins (pred and
+    # truth boxes derive from the same row), no windows, no Python
+    audit(
+        "iou_eval",
+        _GEO5P["iou_eval"],
+        expect=("HashAggregate",),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # calibration: projection + ONE aggregate — nothing else
+    audit(
+        "calibration_bins",
+        _TEXT5P["calibration_bins"],
+        expect=("HashAggregate",),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
