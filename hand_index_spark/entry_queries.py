@@ -833,3 +833,12 @@ from .entry_queries_r5p import GEO5P, ORACLES5P, TEXT5P  # noqa: E402
 GEO_QUERIES.update(GEO5P)
 TEXTOPS.update(TEXT5P)
 ORACLES.update(ORACLES5P)
+
+
+# batch 5q (round 5): declarative data-quality checks, column entropy
+# profiling
+from .entry_queries_r5q import GEO5Q, ORACLES5Q, TEXT5Q  # noqa: E402
+
+GEO_QUERIES.update(GEO5Q)
+TEXTOPS.update(TEXT5Q)
+ORACLES.update(ORACLES5Q)

@@ -1206,6 +1206,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5q import TEXT5Q as _TEXT5Q
+
+    # data contracts: one aggregate per check + the RI left join —
+    # never all-pairs, no Python, no collect-driven loops
+    audit(
+        "data_quality_checks",
+        _TEXT5Q["data_quality_checks"],
+        expect=("HashAggregate", "Union"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # entropy: per-column count aggregate + scalar roll-up, terms
+    # quantized BEFORE summation (order-free) — no joins, no windows
+    audit(
+        "column_entropy",
+        _TEXT5Q["column_entropy"],
+        expect=("HashAggregate", "Union"),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
