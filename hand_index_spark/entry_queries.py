@@ -842,3 +842,11 @@ from .entry_queries_r5q import GEO5Q, ORACLES5Q, TEXT5Q  # noqa: E402
 GEO_QUERIES.update(GEO5Q)
 TEXTOPS.update(TEXT5Q)
 ORACLES.update(ORACLES5Q)
+
+
+# batch 5r (round 5): market-basket lift, concentration metrics
+from .entry_queries_r5r import GEO5R, ORACLES5R, TEXT5R  # noqa: E402
+
+GEO_QUERIES.update(GEO5R)
+TEXTOPS.update(TEXT5R)
+ORACLES.update(ORACLES5R)

@@ -1227,6 +1227,28 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5r import TEXT5R as _TEXT5R
+
+    # basket lift: distinct + user-keyed self-join (bounded: <=
+    # |event types| rows per user) + aggregate + broadcast singles —
+    # never a cross product, no Python
+    audit(
+        "basket_lift",
+        _TEXT5R["basket_lift"],
+        expect=("HashAggregate", "BroadcastHashJoin"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # concentration: per-source aggregate; the rank window runs over
+    # the handful of source rows, never the corpus — no joins
+    audit(
+        "concentration_metrics",
+        _TEXT5R["concentration_metrics"],
+        expect=("HashAggregate", "Window"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
