@@ -850,3 +850,12 @@ from .entry_queries_r5r import GEO5R, ORACLES5R, TEXT5R  # noqa: E402
 GEO_QUERIES.update(GEO5R)
 TEXTOPS.update(TEXT5R)
 ORACLES.update(ORACLES5R)
+
+
+# batch 5s (round 5): mergeable fixed-bin quantile sketch with
+# carried error, time-to-convert survival metrics
+from .entry_queries_r5s import GEO5S, ORACLES5S, TEXT5S  # noqa: E402
+
+GEO_QUERIES.update(GEO5S)
+TEXTOPS.update(TEXT5S)
+ORACLES.update(ORACLES5S)

@@ -1249,6 +1249,28 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5s import TEXT5S as _TEXT5S
+
+    # quantile sketch: type-partitioned rank window + tiny bin-frame
+    # cumsum + keyed joins of the 15-row target/estimate frames —
+    # never all-pairs, no Python
+    audit(
+        "quantile_sketch",
+        _TEXT5S["quantile_sketch"],
+        expect=("windowspecdefinition(event_type", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # time-to-convert: per-user firsts aggregate; the rank windows run
+    # over the converted-users frame only — no joins, no Python
+    audit(
+        "time_to_convert",
+        _TEXT5S["time_to_convert"],
+        expect=("HashAggregate", "Window"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
