@@ -859,3 +859,11 @@ from .entry_queries_r5s import GEO5S, ORACLES5S, TEXT5S  # noqa: E402
 GEO_QUERIES.update(GEO5S)
 TEXTOPS.update(TEXT5S)
 ORACLES.update(ORACLES5S)
+
+
+# batch 5t (round 5): Flesch readability, BPE tokenizer fertility
+from .entry_queries_r5t import GEO5T, ORACLES5T, TEXT5T  # noqa: E402
+
+GEO_QUERIES.update(GEO5T)
+TEXTOPS.update(TEXT5T)
+ORACLES.update(ORACLES5T)

@@ -1271,6 +1271,25 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5t import TEXT5T as _TEXT5T
+
+    # readability: pure per-row projection — no joins, no windows
+    audit(
+        "readability_scores",
+        _TEXT5T["readability_scores"],
+        expect=("Project",),
+        forbid=("Join", "Window", "HashAggregate", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # fertility: per-row merge-chain projection + one lang aggregate
+    audit(
+        "tokenizer_fertility",
+        _TEXT5T["tokenizer_fertility"],
+        expect=("HashAggregate",),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
