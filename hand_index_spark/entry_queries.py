@@ -867,3 +867,12 @@ from .entry_queries_r5t import GEO5T, ORACLES5T, TEXT5T  # noqa: E402
 GEO_QUERIES.update(GEO5T)
 TEXTOPS.update(TEXT5T)
 ORACLES.update(ORACLES5T)
+
+
+# batch 5u (round 5): per-group OLS linear trend, Benford first-digit
+# audit
+from .entry_queries_r5u import GEO5U, ORACLES5U, TEXT5U  # noqa: E402
+
+GEO_QUERIES.update(GEO5U)
+TEXTOPS.update(TEXT5U)
+ORACLES.update(ORACLES5U)

@@ -1290,6 +1290,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5u import TEXT5U as _TEXT5U
+
+    # linear trend: one event_type aggregate over exact BIGINT moments
+    # (map-side partial agg) — no joins, no windows, no Python
+    audit(
+        "linear_trend",
+        _TEXT5U["linear_trend"],
+        expect=("HashAggregate",),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # benford: 9-digit aggregate + the 1-row scalar-total broadcast —
+    # the only join is the deliberate 9x1 scalar attach
+    audit(
+        "benford_digits",
+        _TEXT5U["benford_digits"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
