@@ -876,3 +876,12 @@ from .entry_queries_r5u import GEO5U, ORACLES5U, TEXT5U  # noqa: E402
 GEO_QUERIES.update(GEO5U)
 TEXTOPS.update(TEXT5U)
 ORACLES.update(ORACLES5U)
+
+
+# batch 5v (round 5): gaps-and-islands longest streak, chi-square
+# independence grid
+from .entry_queries_r5v import GEO5V, ORACLES5V, TEXT5V  # noqa: E402
+
+GEO_QUERIES.update(GEO5V)
+TEXTOPS.update(TEXT5V)
+ORACLES.update(ORACLES5V)

@@ -1311,6 +1311,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5v import TEXT5V as _TEXT5V
+
+    # longest streak: user-keyed window + two hash aggregates — the
+    # window never partitions wider than one user
+    audit(
+        "longest_streak",
+        _TEXT5V["longest_streak"],
+        expect=("windowspecdefinition(user_id", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # chi-square grid: tiny dim-frame crosses (broadcast) + one
+    # broadcast left join of the observed cells — never a corpus join
+    audit(
+        "chisq_independence",
+        _TEXT5V["chisq_independence"],
+        expect=("HashAggregate", "BroadcastHashJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
