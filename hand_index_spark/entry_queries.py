@@ -885,3 +885,12 @@ from .entry_queries_r5v import GEO5V, ORACLES5V, TEXT5V  # noqa: E402
 GEO_QUERIES.update(GEO5V)
 TEXTOPS.update(TEXT5V)
 ORACLES.update(ORACLES5V)
+
+
+# batch 5w (round 5): Kendall tau rank agreement, Holt double
+# exponential smoothing forecast
+from .entry_queries_r5w import GEO5W, ORACLES5W, TEXT5W  # noqa: E402
+
+GEO_QUERIES.update(GEO5W)
+TEXTOPS.update(TEXT5W)
+ORACLES.update(ORACLES5W)

@@ -1332,6 +1332,27 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5w import TEXT5W as _TEXT5W
+
+    # kendall tau: lang-keyed self-join over the 20-per-lang frame —
+    # equi-keyed on lang (bounded 20x20 per group), never all-pairs
+    audit(
+        "kendall_tau",
+        _TEXT5W["kendall_tau"],
+        expect=("windowspecdefinition(lang", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # holt: two hash aggregates + the in-Catalyst fold (aggregate HOF)
+    # — no joins, no Python
+    audit(
+        "holt_forecast",
+        _TEXT5W["holt_forecast"],
+        expect=("HashAggregate",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
