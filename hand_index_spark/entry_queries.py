@@ -894,3 +894,12 @@ from .entry_queries_r5w import GEO5W, ORACLES5W, TEXT5W  # noqa: E402
 GEO_QUERIES.update(GEO5W)
 TEXTOPS.update(TEXT5W)
 ORACLES.update(ORACLES5W)
+
+
+# batch 5x (round 5): DTW series similarity (nested-fold DP), z-score
+# feature scaling
+from .entry_queries_r5x import GEO5X, ORACLES5X, TEXT5X  # noqa: E402
+
+GEO_QUERIES.update(GEO5X)
+TEXTOPS.update(TEXT5X)
+ORACLES.update(ORACLES5X)

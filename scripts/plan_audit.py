@@ -1353,6 +1353,26 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5x import TEXT5X as _TEXT5X
+
+    # dtw: keyed aggregates + the 1-row reference-series broadcast;
+    # the DP fold itself is pure Catalyst HOF — no Python anywhere
+    audit(
+        "dtw_distance",
+        _TEXT5X["dtw_distance"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin"),
+        forbid=("SortMergeJoin", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # zscore: 5-row stats frame broadcast back onto the corpus — the
+    # corpus itself never shuffles for the join
+    audit(
+        "zscore_normalize",
+        _TEXT5X["zscore_normalize"],
+        expect=("HashAggregate", "BroadcastHashJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
