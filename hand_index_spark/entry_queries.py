@@ -903,3 +903,12 @@ from .entry_queries_r5x import GEO5X, ORACLES5X, TEXT5X  # noqa: E402
 GEO_QUERIES.update(GEO5X)
 TEXTOPS.update(TEXT5X)
 ORACLES.update(ORACLES5X)
+
+
+# batch 5y (round 5): areal interpolation onto the tile grid,
+# discrete Frechet trajectory distance
+from .entry_queries_r5y import GEO5Y, ORACLES5Y, TEXT5Y  # noqa: E402
+
+GEO_QUERIES.update(GEO5Y)
+TEXTOPS.update(TEXT5Y)
+ORACLES.update(ORACLES5Y)

@@ -1373,6 +1373,27 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5y import GEO5Y as _GEO5Y
+
+    # areal interpolation: bounded 3x3 explode + one tile-keyed
+    # aggregate — no joins at all, pure integers
+    audit(
+        "areal_interpolate",
+        _GEO5Y["areal_interpolate"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # frechet: user-keyed window/aggregate + in-Catalyst nested fold;
+    # the reference polyline is built closed-form (no join needed)
+    audit(
+        "frechet_distance",
+        _GEO5Y["frechet_distance"],
+        expect=("HashAggregate", "windowspecdefinition(user_id"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
