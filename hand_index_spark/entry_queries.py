@@ -912,3 +912,11 @@ from .entry_queries_r5y import GEO5Y, ORACLES5Y, TEXT5Y  # noqa: E402
 GEO_QUERIES.update(GEO5Y)
 TEXTOPS.update(TEXT5Y)
 ORACLES.update(ORACLES5Y)
+
+
+# batch 5z (round 5): DAG topological layering, PSI distribution drift
+from .entry_queries_r5z import GEO5Z, ORACLES5Z, TEXT5Z  # noqa: E402
+
+GEO_QUERIES.update(GEO5Z)
+TEXTOPS.update(TEXT5Z)
+ORACLES.update(ORACLES5Z)

@@ -1394,6 +1394,28 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5z import TEXT5Z as _TEXT5Z
+
+    # toposort: checkpointed equi-join + max-agg rounds only (the bfs
+    # shape); the visible plan is the final checkpointed state — the
+    # per-round shape is the same equi-join + HashAggregate as bfs
+    audit(
+        "toposort_layers",
+        _TEXT5Z["toposort_layers"],
+        expect=("Scan ExistingRDD",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # psi: two corpus filters + the 9-value cuts broadcast + bin
+    # aggregate; the crosses are 1-row scalar attaches
+    audit(
+        "psi_drift",
+        _TEXT5Z["psi_drift"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
