@@ -920,3 +920,11 @@ from .entry_queries_r5z import GEO5Z, ORACLES5Z, TEXT5Z  # noqa: E402
 GEO_QUERIES.update(GEO5Z)
 TEXTOPS.update(TEXT5Z)
 ORACLES.update(ORACLES5Z)
+
+
+# batch 5aa (round 5): reciprocal-rank fusion, exact midrank ROC AUC
+from .entry_queries_r5aa import GEO5AA, ORACLES5AA, TEXT5AA  # noqa: E402
+
+GEO_QUERIES.update(GEO5AA)
+TEXTOPS.update(TEXT5AA)
+ORACLES.update(ORACLES5AA)

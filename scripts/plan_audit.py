@@ -1416,6 +1416,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5aa import TEXT5AA as _TEXT5AA
+
+    # rrf: lang-partitioned rank windows + top-10 window — no joins
+    # at all (both rankings come from one frame)
+    audit(
+        "rrf_fusion",
+        _TEXT5AA["rrf_fusion"],
+        expect=("windowspecdefinition(lang",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # roc_auc: score-group aggregate + lang-partitioned cumsum window
+    # + final aggregate — no joins, pure integers
+    audit(
+        "roc_auc",
+        _TEXT5AA["roc_auc"],
+        expect=("HashAggregate", "windowspecdefinition(lang"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
