@@ -928,3 +928,11 @@ from .entry_queries_r5aa import GEO5AA, ORACLES5AA, TEXT5AA  # noqa: E402
 GEO_QUERIES.update(GEO5AA)
 TEXTOPS.update(TEXT5AA)
 ORACLES.update(ORACLES5AA)
+
+
+# batch 5bb (round 5): URL path-prefix rollup, Theil-Sen robust slope
+from .entry_queries_r5bb import GEO5BB, ORACLES5BB, TEXT5BB  # noqa: E402
+
+GEO_QUERIES.update(GEO5BB)
+TEXTOPS.update(TEXT5BB)
+ORACLES.update(ORACLES5BB)

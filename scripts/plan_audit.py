@@ -1437,6 +1437,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5bb import TEXT5BB as _TEXT5BB
+
+    # prefix rollup: bounded <=3 explode + one prefix aggregate — no
+    # joins at all
+    audit(
+        "path_prefix_rollup",
+        _TEXT5BB["path_prefix_rollup"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # theil-sen: type-keyed self-join over <=31 day rows (bounded
+    # ~465 pairs per type) + rank window — never all-pairs over rows
+    audit(
+        "theil_sen_slope",
+        _TEXT5BB["theil_sen_slope"],
+        expect=("HashAggregate", "windowspecdefinition(event_type"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
