@@ -936,3 +936,12 @@ from .entry_queries_r5bb import GEO5BB, ORACLES5BB, TEXT5BB  # noqa: E402
 GEO_QUERIES.update(GEO5BB)
 TEXTOPS.update(TEXT5BB)
 ORACLES.update(ORACLES5BB)
+
+
+# batch 5cc (round 5): NDCG@10 graded ranking eval, seasonal-naive
+# MASE backtest
+from .entry_queries_r5cc import GEO5CC, ORACLES5CC, TEXT5CC  # noqa: E402
+
+GEO_QUERIES.update(GEO5CC)
+TEXTOPS.update(TEXT5CC)
+ORACLES.update(ORACLES5CC)

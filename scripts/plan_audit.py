@@ -1458,6 +1458,27 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5cc import TEXT5CC as _TEXT5CC
+
+    # ndcg: two lang rank windows + one aggregate with ordered folds
+    # — no joins
+    audit(
+        "ndcg_at_k",
+        _TEXT5CC["ndcg_at_k"],
+        expect=("windowspecdefinition(lang", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # mase: daily aggregate + lag window + final aggregate — no joins,
+    # pure integers
+    audit(
+        "backtest_mase",
+        _TEXT5CC["backtest_mase"],
+        expect=("HashAggregate", "windowspecdefinition(event_type"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
