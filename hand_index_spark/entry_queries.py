@@ -945,3 +945,12 @@ from .entry_queries_r5cc import GEO5CC, ORACLES5CC, TEXT5CC  # noqa: E402
 GEO_QUERIES.update(GEO5CC)
 TEXTOPS.update(TEXT5CC)
 ORACLES.update(ORACLES5CC)
+
+
+# batch 5dd (round 5): icelite partition-spec evolution, l-diversity
+# privacy audit
+from .entry_queries_r5dd import GEO5DD, ORACLES5DD, TEXT5DD  # noqa: E402
+
+GEO_QUERIES.update(GEO5DD)
+TEXTOPS.update(TEXT5DD)
+ORACLES.update(ORACLES5DD)

@@ -1479,6 +1479,30 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5dd import (
+        GEO5DD as _GEO5DD,
+        TEXT5DD as _TEXT5DD,
+    )
+
+    # partition evolution: the readback is parquet scans + one
+    # aggregate — no Python, no cross product (the union of the two
+    # layouts is a plain unionByName)
+    audit(
+        "partition_evolution",
+        _GEO5DD["partition_evolution"],
+        expect=("HashAggregate", "Union"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # l-diversity: one QI-group aggregate — no joins
+    audit(
+        "l_diversity_audit",
+        _TEXT5DD["l_diversity_audit"],
+        expect=("HashAggregate",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
