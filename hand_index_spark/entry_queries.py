@@ -954,3 +954,11 @@ from .entry_queries_r5dd import GEO5DD, ORACLES5DD, TEXT5DD  # noqa: E402
 GEO_QUERIES.update(GEO5DD)
 TEXTOPS.update(TEXT5DD)
 ORACLES.update(ORACLES5DD)
+
+
+# batch 5ee (round 5): int8 scalar quantization, exact weighted median
+from .entry_queries_r5ee import GEO5EE, ORACLES5EE, TEXT5EE  # noqa: E402
+
+GEO_QUERIES.update(GEO5EE)
+TEXTOPS.update(TEXT5EE)
+ORACLES.update(ORACLES5EE)

@@ -1503,6 +1503,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5ee import TEXT5EE as _TEXT5EE
+
+    # sq8: posexplode + the 64-row per-dim stats broadcast back onto
+    # the elements — the element stream never shuffles for the join
+    audit(
+        "sq8_quantize",
+        _TEXT5EE["sq8_quantize"],
+        expect=("HashAggregate", "BroadcastHashJoin", "Generate"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # weighted median: lang-partitioned cumsum + rank windows — no
+    # joins, pure integers
+    audit(
+        "weighted_median",
+        _TEXT5EE["weighted_median"],
+        expect=("windowspecdefinition(lang",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
