@@ -962,3 +962,11 @@ from .entry_queries_r5ee import GEO5EE, ORACLES5EE, TEXT5EE  # noqa: E402
 GEO_QUERIES.update(GEO5EE)
 TEXTOPS.update(TEXT5EE)
 ORACLES.update(ORACLES5EE)
+
+
+# batch 5ff (round 5): point-set diameter, time-weighted average
+from .entry_queries_r5ff import GEO5FF, ORACLES5FF, TEXT5FF  # noqa: E402
+
+GEO_QUERIES.update(GEO5FF)
+TEXTOPS.update(TEXT5FF)
+ORACLES.update(ORACLES5FF)

@@ -1524,6 +1524,29 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5ff import (
+        GEO5FF as _GEO5FF,
+        TEXT5FF as _TEXT5FF,
+    )
+
+    # diameter: user-keyed self-join over <=48 capped points (bounded
+    # 48x48 per group) + rank window — never corpus all-pairs
+    audit(
+        "point_diameter",
+        _GEO5FF["point_diameter"],
+        expect=("windowspecdefinition(user_id",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # twap: lead window + one aggregate — no joins, pure integers
+    audit(
+        "twap_value",
+        _TEXT5FF["twap_value"],
+        expect=("HashAggregate", "windowspecdefinition(user_id"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
