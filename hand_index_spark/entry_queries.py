@@ -970,3 +970,12 @@ from .entry_queries_r5ff import GEO5FF, ORACLES5FF, TEXT5FF  # noqa: E402
 GEO_QUERIES.update(GEO5FF)
 TEXTOPS.update(TEXT5FF)
 ORACLES.update(ORACLES5FF)
+
+
+# batch 5gg (round 5): geohash neighbor cells, Markov transition
+# matrix
+from .entry_queries_r5gg import GEO5GG, ORACLES5GG, TEXT5GG  # noqa: E402
+
+GEO_QUERIES.update(GEO5GG)
+TEXTOPS.update(TEXT5GG)
+ORACLES.update(ORACLES5GG)

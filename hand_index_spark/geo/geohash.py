@@ -83,3 +83,58 @@ def encode_str_sql(gh_int_expr: str) -> str:
         for j in range(6)
     ]
     return " || ".join(parts)
+
+
+# ---------------------------------------------------------------- neighbors
+# Round-5gg: de-interleave / re-interleave for neighbor-cell
+# computation. Bit layout (encode_int_col): lon bits sit at ODD
+# positions (2k+1 for axis bit k counted from the LSB), lat bits at
+# EVEN positions (2k) — so both directions are pure integer bit sums
+# with literal shift distances (whole-stage codegen, zero Python).
+
+
+def axis_cols(gh_int: Column) -> tuple[Column, Column]:
+    """(lat_q, lon_q) axis indices recovered from the 30-bit value."""
+    lat_q = F.lit(0).cast("long")
+    lon_q = F.lit(0).cast("long")
+    for k in range(BITS_PER_AXIS):
+        lat_q = lat_q + F.shiftleft(
+            F.shiftright(gh_int, 2 * k).bitwiseAND(F.lit(1).cast("long")), k
+        )
+        lon_q = lon_q + F.shiftleft(
+            F.shiftright(gh_int, 2 * k + 1).bitwiseAND(F.lit(1).cast("long")), k
+        )
+    return lat_q, lon_q
+
+
+def interleave_col(lat_q: Column, lon_q: Column) -> Column:
+    """The 30-bit value from axis indices (inverse of axis_cols)."""
+    acc = F.lit(0).cast("long")
+    for k in range(BITS_PER_AXIS):
+        acc = acc + F.shiftleft(
+            F.shiftright(lat_q, k).bitwiseAND(F.lit(1).cast("long")), 2 * k
+        )
+        acc = acc + F.shiftleft(
+            F.shiftright(lon_q, k).bitwiseAND(F.lit(1).cast("long")), 2 * k + 1
+        )
+    return acc
+
+
+def axis_sql(gh_int_expr: str) -> tuple[str, str]:
+    lat_terms = [
+        f"((({gh_int_expr} >> {2 * k}) & 1) << {k})"
+        for k in range(BITS_PER_AXIS)
+    ]
+    lon_terms = [
+        f"((({gh_int_expr} >> {2 * k + 1}) & 1) << {k})"
+        for k in range(BITS_PER_AXIS)
+    ]
+    return "(" + " + ".join(lat_terms) + ")", "(" + " + ".join(lon_terms) + ")"
+
+
+def interleave_sql(lat_q_expr: str, lon_q_expr: str) -> str:
+    terms = []
+    for k in range(BITS_PER_AXIS):
+        terms.append(f"((({lat_q_expr} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({lon_q_expr} >> {k}) & 1) << {2 * k + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -1547,6 +1547,31 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5gg import (
+        GEO5GG as _GEO5GG,
+        TEXT5GG as _TEXT5GG,
+    )
+
+    # neighbors: bounded 8-way explode over literal-shift bit sums —
+    # whole-stage codegen ("codegen id" in the formatted plan), no
+    # joins, no Python
+    audit(
+        "geohash_neighbors",
+        _GEO5GG["geohash_neighbors"],
+        expect=("Generate", "codegen id"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # markov: lag window + pair aggregate + row-total window — no
+    # joins, pure integers
+    audit(
+        "markov_transitions",
+        _TEXT5GG["markov_transitions"],
+        expect=("HashAggregate", "windowspecdefinition(user_id"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
