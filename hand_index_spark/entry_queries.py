@@ -979,3 +979,12 @@ from .entry_queries_r5gg import GEO5GG, ORACLES5GG, TEXT5GG  # noqa: E402
 GEO_QUERIES.update(GEO5GG)
 TEXTOPS.update(TEXT5GG)
 ORACLES.update(ORACLES5GG)
+
+
+# batch 5hh (round 5): Spearman rank correlation, Benjamini-Hochberg
+# FDR selection
+from .entry_queries_r5hh import GEO5HH, ORACLES5HH, TEXT5HH  # noqa: E402
+
+GEO_QUERIES.update(GEO5HH)
+TEXTOPS.update(TEXT5HH)
+ORACLES.update(ORACLES5HH)

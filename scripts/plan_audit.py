@@ -1572,6 +1572,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5hh import TEXT5HH as _TEXT5HH
+
+    # spearman: two lang rank windows + one aggregate — O(n) per
+    # group (vs kendall's bounded pairwise), no joins
+    audit(
+        "spearman_rho",
+        _TEXT5HH["spearman_rho"],
+        expect=("windowspecdefinition(lang", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # fdr: the m-row test battery ranks in one global window (the
+    # battery is GROUPS, never the corpus) — no joins
+    audit(
+        "fdr_bh",
+        _TEXT5HH["fdr_bh"],
+        expect=("HashAggregate", "Window"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
