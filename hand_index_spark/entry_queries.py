@@ -988,3 +988,11 @@ from .entry_queries_r5hh import GEO5HH, ORACLES5HH, TEXT5HH  # noqa: E402
 GEO_QUERIES.update(GEO5HH)
 TEXTOPS.update(TEXT5HH)
 ORACLES.update(ORACLES5HH)
+
+
+# batch 5ii (round 5): 1-D Earth Mover's distance, mutual information
+from .entry_queries_r5ii import GEO5II, ORACLES5II, TEXT5II  # noqa: E402
+
+GEO_QUERIES.update(GEO5II)
+TEXTOPS.update(TEXT5II)
+ORACLES.update(ORACLES5II)

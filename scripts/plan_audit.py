@@ -1593,6 +1593,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5ii import TEXT5II as _TEXT5II
+
+    # emd: one bin aggregate + ~20-row cumsum windows + final scalar
+    # — no joins, pure integers
+    audit(
+        "emd_1d",
+        _TEXT5II["emd_1d"],
+        expect=("HashAggregate", "Window"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # mi: cell aggregate + marginal windows over the grid rows + one
+    # ordered fold — no joins
+    audit(
+        "mutual_information",
+        _TEXT5II["mutual_information"],
+        expect=("HashAggregate", "Window"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
