@@ -996,3 +996,11 @@ from .entry_queries_r5ii import GEO5II, ORACLES5II, TEXT5II  # noqa: E402
 GEO_QUERIES.update(GEO5II)
 TEXTOPS.update(TEXT5II)
 ORACLES.update(ORACLES5II)
+
+
+# batch 5jj (round 5): bearing rose, clamped running balance
+from .entry_queries_r5jj import GEO5JJ, ORACLES5JJ, TEXT5JJ  # noqa: E402
+
+GEO_QUERIES.update(GEO5JJ)
+TEXTOPS.update(TEXT5JJ)
+ORACLES.update(ORACLES5JJ)

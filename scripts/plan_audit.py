@@ -1614,6 +1614,30 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5jj import (
+        GEO5JJ as _GEO5JJ,
+        TEXT5JJ as _TEXT5JJ,
+    )
+
+    # rose: lag window + integer sector CASE + two aggregates — no
+    # joins, no transcendentals
+    audit(
+        "bearing_rose",
+        _GEO5JJ["bearing_rose"],
+        expect=("HashAggregate", "windowspecdefinition(user_id"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # clamped balance: one groupBy + the in-Catalyst fold — no joins,
+    # no windows, pure integers
+    audit(
+        "clamped_balance",
+        _TEXT5JJ["clamped_balance"],
+        expect=("HashAggregate",),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
