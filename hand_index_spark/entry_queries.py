@@ -1004,3 +1004,11 @@ from .entry_queries_r5jj import GEO5JJ, ORACLES5JJ, TEXT5JJ  # noqa: E402
 GEO_QUERIES.update(GEO5JJ)
 TEXTOPS.update(TEXT5JJ)
 ORACLES.update(ORACLES5JJ)
+
+
+# batch 5kk (round 5): rendezvous hashing, zonemap overlap audit
+from .entry_queries_r5kk import GEO5KK, ORACLES5KK, TEXT5KK  # noqa: E402
+
+GEO_QUERIES.update(GEO5KK)
+TEXTOPS.update(TEXT5KK)
+ORACLES.update(ORACLES5KK)

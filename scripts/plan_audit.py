@@ -1638,6 +1638,30 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5kk import (
+        GEO5KK as _GEO5KK,
+        TEXT5KK as _TEXT5KK,
+    )
+
+    # hrw: per-row bounded 16-node fold, pure projection — no joins,
+    # no windows, no Python
+    audit(
+        "rendezvous_assign",
+        _TEXT5KK["rendezvous_assign"],
+        expect=("Project",),
+        forbid=("Join", "Window", "HashAggregate", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # zonemap audit: the 6-row metadata frame self-joins broadcast —
+    # the corpus is touched only by the one-time icelite write
+    audit(
+        "zonemap_overlap_audit",
+        _GEO5KK["zonemap_overlap_audit"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
