@@ -1012,3 +1012,11 @@ from .entry_queries_r5kk import GEO5KK, ORACLES5KK, TEXT5KK  # noqa: E402
 GEO_QUERIES.update(GEO5KK)
 TEXTOPS.update(TEXT5KK)
 ORACLES.update(ORACLES5KK)
+
+
+# batch 5ll (round 5): cross-track deviation, Cohen's kappa
+from .entry_queries_r5ll import GEO5LL, ORACLES5LL, TEXT5LL  # noqa: E402
+
+GEO_QUERIES.update(GEO5LL)
+TEXTOPS.update(TEXT5LL)
+ORACLES.update(ORACLES5LL)

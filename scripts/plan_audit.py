@@ -1662,6 +1662,30 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5ll import (
+        GEO5LL as _GEO5LL,
+        TEXT5LL as _TEXT5LL,
+    )
+
+    # cross-track: user-keyed anchor windows + rank window — no
+    # joins, pure integers
+    audit(
+        "cross_track_dev",
+        _GEO5LL["cross_track_dev"],
+        expect=("windowspecdefinition(user_id",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # kappa: confusion aggregate + marginal windows over the 16-cell
+    # grid + one scalar aggregate — no joins
+    audit(
+        "cohens_kappa",
+        _TEXT5LL["cohens_kappa"],
+        expect=("HashAggregate", "Window"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
