@@ -1020,3 +1020,11 @@ from .entry_queries_r5ll import GEO5LL, ORACLES5LL, TEXT5LL  # noqa: E402
 GEO_QUERIES.update(GEO5LL)
 TEXTOPS.update(TEXT5LL)
 ORACLES.update(ORACLES5LL)
+
+
+# batch 5mm (round 5): degree power-law fit, group-mode imputation
+from .entry_queries_r5mm import GEO5MM, ORACLES5MM, TEXT5MM  # noqa: E402
+
+GEO_QUERIES.update(GEO5MM)
+TEXTOPS.update(TEXT5MM)
+ORACLES.update(ORACLES5MM)

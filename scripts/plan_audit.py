@@ -1686,6 +1686,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5mm import TEXT5MM as _TEXT5MM
+
+    # power-law: bounded explode + two aggregates + one 13-row
+    # ordered fold — no joins
+    audit(
+        "degree_powerlaw",
+        _TEXT5MM["degree_powerlaw"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # impute: mode frame (few rows) broadcast back onto the corpus —
+    # the corpus never shuffles for the join
+    audit(
+        "mode_impute",
+        _TEXT5MM["mode_impute"],
+        expect=("HashAggregate", "BroadcastHashJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
