@@ -1028,3 +1028,12 @@ from .entry_queries_r5mm import GEO5MM, ORACLES5MM, TEXT5MM  # noqa: E402
 GEO_QUERIES.update(GEO5MM)
 TEXTOPS.update(TEXT5MM)
 ORACLES.update(ORACLES5MM)
+
+
+# batch 5nn (round 5): sweep-line max concurrency, SPRT barrier
+# crossing
+from .entry_queries_r5nn import GEO5NN, ORACLES5NN, TEXT5NN  # noqa: E402
+
+GEO_QUERIES.update(GEO5NN)
+TEXTOPS.update(TEXT5NN)
+ORACLES.update(ORACLES5NN)

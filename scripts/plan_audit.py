@@ -1707,6 +1707,27 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5nn import TEXT5NN as _TEXT5NN
+
+    # concurrency: endpoint union + type-keyed cumsum + rank window —
+    # no joins
+    audit(
+        "max_concurrency",
+        _TEXT5NN["max_concurrency"],
+        expect=("windowspecdefinition(event_type", "Union"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # sprt: user-keyed cumsum windows + the per-user first-crossing
+    # frame broadcast back — never a corpus shuffle join
+    audit(
+        "sprt_crossing",
+        _TEXT5NN["sprt_crossing"],
+        expect=("windowspecdefinition(user_id", "BroadcastHashJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
