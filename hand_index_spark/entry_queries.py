@@ -1037,3 +1037,11 @@ from .entry_queries_r5nn import GEO5NN, ORACLES5NN, TEXT5NN  # noqa: E402
 GEO_QUERIES.update(GEO5NN)
 TEXTOPS.update(TEXT5NN)
 ORACLES.update(ORACLES5NN)
+
+
+# batch 5oo (round 5): KMV distinct sketch, audience overlap algebra
+from .entry_queries_r5oo import GEO5OO, ORACLES5OO, TEXT5OO  # noqa: E402
+
+GEO_QUERIES.update(GEO5OO)
+TEXTOPS.update(TEXT5OO)
+ORACLES.update(ORACLES5OO)

@@ -1728,6 +1728,27 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5oo import TEXT5OO as _TEXT5OO
+
+    # kmv: bounded explode + lang rank window + the tiny kth/exact
+    # frames joined — no corpus self-join, no Python
+    audit(
+        "kmv_distinct",
+        _TEXT5OO["kmv_distinct"],
+        expect=("windowspecdefinition(lang", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # audience overlap: ONE user-keyed bitmask aggregate + bounded
+    # 10-pair explode — never a corpus self-join
+    audit(
+        "audience_overlap",
+        _TEXT5OO["audience_overlap"],
+        expect=("HashAggregate", "Generate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
