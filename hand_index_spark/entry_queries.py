@@ -1045,3 +1045,11 @@ from .entry_queries_r5oo import GEO5OO, ORACLES5OO, TEXT5OO  # noqa: E402
 GEO_QUERIES.update(GEO5OO)
 TEXTOPS.update(TEXT5OO)
 ORACLES.update(ORACLES5OO)
+
+
+# batch 5pp (round 5): spatial coverage gaps, mix-shift decomposition
+from .entry_queries_r5pp import GEO5PP, ORACLES5PP, TEXT5PP  # noqa: E402
+
+GEO_QUERIES.update(GEO5PP)
+TEXTOPS.update(TEXT5PP)
+ORACLES.update(ORACLES5PP)

@@ -1749,6 +1749,29 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5pp import (
+        GEO5PP as _GEO5PP,
+        TEXT5PP as _TEXT5PP,
+    )
+
+    # coverage gaps: closed-form universe + broadcast LEFT ANTI against
+    # the dilated cell set — never universe x corpus
+    audit(
+        "coverage_gaps",
+        _GEO5PP["coverage_gaps"],
+        expect=("BroadcastHashJoin", "LeftAnti"),
+        forbid=("SortMergeJoin", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # mix shift: one segment aggregate + the 1-row totals broadcast
+    audit(
+        "mix_shift",
+        _TEXT5PP["mix_shift"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
