@@ -1053,3 +1053,11 @@ from .entry_queries_r5pp import GEO5PP, ORACLES5PP, TEXT5PP  # noqa: E402
 GEO_QUERIES.update(GEO5PP)
 TEXTOPS.update(TEXT5PP)
 ORACLES.update(ORACLES5PP)
+
+
+# batch 5qq (round 5): hexagonal binning, log2 latency histogram
+from .entry_queries_r5qq import GEO5QQ, ORACLES5QQ, TEXT5QQ  # noqa: E402
+
+GEO_QUERIES.update(GEO5QQ)
+TEXTOPS.update(TEXT5QQ)
+ORACLES.update(ORACLES5QQ)

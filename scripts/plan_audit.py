@@ -1772,6 +1772,30 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5qq import (
+        GEO5QQ as _GEO5QQ,
+        TEXT5QQ as _TEXT5QQ,
+    )
+
+    # hex: bounded 9-way candidate explode + per-point argmin window
+    # + one bin aggregate — no joins, pure integers
+    audit(
+        "hex_bin",
+        _GEO5QQ["hex_bin"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # latency: lag window + bucket aggregate + cumsum windows — no
+    # joins, integer log2 via binary-string length
+    audit(
+        "latency_histogram",
+        _TEXT5QQ["latency_histogram"],
+        expect=("windowspecdefinition(event_type", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
