@@ -1061,3 +1061,11 @@ from .entry_queries_r5qq import GEO5QQ, ORACLES5QQ, TEXT5QQ  # noqa: E402
 GEO_QUERIES.update(GEO5QQ)
 TEXTOPS.update(TEXT5QQ)
 ORACLES.update(ORACLES5QQ)
+
+
+# batch 5rr (round 5): KWIC concordance, feature hashing
+from .entry_queries_r5rr import GEO5RR, ORACLES5RR, TEXT5RR  # noqa: E402
+
+GEO_QUERIES.update(GEO5RR)
+TEXTOPS.update(TEXT5RR)
+ORACLES.update(ORACLES5RR)

@@ -1796,6 +1796,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5rr import TEXT5RR as _TEXT5RR2
+
+    # kwic: pure instr/substr projection + a 2-way union — no joins,
+    # no windows, no regex backtracking
+    audit(
+        "kwic_concordance",
+        _TEXT5RR2["kwic_concordance"],
+        expect=("Union", "Project"),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # feature hashing: token explode + two aggregates + the 32-row
+    # stats frame broadcast back
+    audit(
+        "feature_hashing",
+        _TEXT5RR2["feature_hashing"],
+        expect=("HashAggregate", "BroadcastHashJoin", "Generate"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
