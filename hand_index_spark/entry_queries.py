@@ -1069,3 +1069,12 @@ from .entry_queries_r5rr import GEO5RR, ORACLES5RR, TEXT5RR  # noqa: E402
 GEO_QUERIES.update(GEO5RR)
 TEXTOPS.update(TEXT5RR)
 ORACLES.update(ORACLES5RR)
+
+
+# batch 5ss (round 5): GDPR forget-user via icelite DELETE, star
+# revenue rollup
+from .entry_queries_r5ss import GEO5SS, ORACLES5SS, TEXT5SS  # noqa: E402
+
+GEO_QUERIES.update(GEO5SS)
+TEXTOPS.update(TEXT5SS)
+ORACLES.update(ORACLES5SS)

@@ -694,7 +694,14 @@ class IceliteTable:
         time-travelable until vacuumed — which is also the compliance
         story: a takedown = delete + vacuum."""
         cur = self.read(spark)
-        kept = cur.join(keys.select(key).distinct(), key, "left_anti")
+        # re-select the original column order: a USING-style anti-join
+        # moves the join key to the front, and a later changes() diff
+        # (positional exceptAll) would then mis-pair every column —
+        # the delete snapshot must be column-order-identical to its
+        # predecessor
+        kept = cur.join(keys.select(key).distinct(), key, "left_anti").select(
+            *cur.columns
+        )
         return self.write(
             kept, stage=stage, fingerprint=fingerprint, lineage_key=key
         )

@@ -1817,6 +1817,29 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5ss import (
+        GEO5SS as _GEO5SS,
+        TEXT5SS as _TEXT5SS,
+    )
+
+    # gdpr: post-delete readback aggregate + the 1-row changelog
+    # scalar broadcast; exceptAll inside changes() is keyed hash aggs
+    audit(
+        "gdpr_forget",
+        _GEO5SS["gdpr_forget"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin"),
+        forbid=("CartesianProduct", "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # star rollup: fact-side joins + three broadcast dims — the dims
+    # must never shuffle
+    audit(
+        "star_revenue_rollup",
+        _TEXT5SS["star_revenue_rollup"],
+        expect=("BroadcastHashJoin", "HashAggregate"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
