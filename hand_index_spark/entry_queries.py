@@ -1078,3 +1078,11 @@ from .entry_queries_r5ss import GEO5SS, ORACLES5SS, TEXT5SS  # noqa: E402
 GEO_QUERIES.update(GEO5SS)
 TEXTOPS.update(TEXT5SS)
 ORACLES.update(ORACLES5SS)
+
+
+# batch 5tt (round 5): business-day arithmetic, dow x hour heatmap
+from .entry_queries_r5tt import GEO5TT, ORACLES5TT, TEXT5TT  # noqa: E402
+
+GEO_QUERIES.update(GEO5TT)
+TEXTOPS.update(TEXT5TT)
+ORACLES.update(ORACLES5TT)

@@ -1840,6 +1840,26 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5tt import TEXT5TT as _TEXT5TT
+
+    # business days: one equi-join + order aggregate, closed-form
+    # weekday CASE — no windows, no Python
+    audit(
+        "business_days",
+        _TEXT5TT["business_days"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # heatmap: one 168-cell aggregate + the share window over cells
+    audit(
+        "dow_hour_heatmap",
+        _TEXT5TT["dow_hour_heatmap"],
+        expect=("HashAggregate", "Window"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
