@@ -1086,3 +1086,11 @@ from .entry_queries_r5tt import GEO5TT, ORACLES5TT, TEXT5TT  # noqa: E402
 GEO_QUERIES.update(GEO5TT)
 TEXTOPS.update(TEXT5TT)
 ORACLES.update(ORACLES5TT)
+
+
+# batch 5uu (round 5): X-bar control chart, winsorized mean
+from .entry_queries_r5uu import GEO5UU, ORACLES5UU, TEXT5UU  # noqa: E402
+
+GEO_QUERIES.update(GEO5UU)
+TEXTOPS.update(TEXT5UU)
+ORACLES.update(ORACLES5UU)

@@ -1860,6 +1860,27 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5uu import TEXT5UU as _TEXT5UU
+
+    # control chart: daily + overall aggregates, overall broadcast
+    # back onto the ~150 daily rows
+    audit(
+        "control_chart",
+        _TEXT5UU["control_chart"],
+        expect=("HashAggregate", "BroadcastHashJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # winsorized mean: rank windows + the 5-row bounds broadcast back
+    # onto the corpus — the corpus never shuffles for the join
+    audit(
+        "winsorized_mean",
+        _TEXT5UU["winsorized_mean"],
+        expect=("windowspecdefinition(event_type", "BroadcastHashJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
