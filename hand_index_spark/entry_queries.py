@@ -1094,3 +1094,11 @@ from .entry_queries_r5uu import GEO5UU, ORACLES5UU, TEXT5UU  # noqa: E402
 GEO_QUERIES.update(GEO5UU)
 TEXTOPS.update(TEXT5UU)
 ORACLES.update(ORACLES5UU)
+
+
+# batch 5vv (round 5): CIDR longest-prefix match, ABC Pareto classes
+from .entry_queries_r5vv import GEO5VV, ORACLES5VV, TEXT5VV  # noqa: E402
+
+GEO_QUERIES.update(GEO5VV)
+TEXTOPS.update(TEXT5VV)
+ORACLES.update(ORACLES5VV)

@@ -1881,6 +1881,27 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5vv import TEXT5VV as _TEXT5VV
+
+    # cidr: the 16-row block table broadcasts (the cross is the
+    # deliberate bounded prefix probe) + longest-prefix rank window
+    audit(
+        "cidr_match",
+        _TEXT5VV["cidr_match"],
+        expect=("windowspecdefinition(event_id", "HashAggregate"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # abc: one part aggregate + global cumsum/rank windows over the
+    # part frame (parts, never lineitems)
+    audit(
+        "abc_classification",
+        _TEXT5VV["abc_classification"],
+        expect=("HashAggregate", "Window"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
