@@ -1102,3 +1102,11 @@ from .entry_queries_r5vv import GEO5VV, ORACLES5VV, TEXT5VV  # noqa: E402
 GEO_QUERIES.update(GEO5VV)
 TEXTOPS.update(TEXT5VV)
 ORACLES.update(ORACLES5VV)
+
+
+# batch 5ww (round 5): spatiotemporal co-presence, quantile transform
+from .entry_queries_r5ww import GEO5WW, ORACLES5WW, TEXT5WW  # noqa: E402
+
+GEO_QUERIES.update(GEO5WW)
+TEXTOPS.update(TEXT5WW)
+ORACLES.update(ORACLES5WW)

@@ -1902,6 +1902,29 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5ww import (
+        GEO5WW as _GEO5WW,
+        TEXT5WW as _TEXT5WW,
+    )
+
+    # copresence: distinct + one cell aggregate, NO pair join — the
+    # count shortcut is the whole point
+    audit(
+        "copresence_pairs",
+        _GEO5WW["copresence_pairs"],
+        expect=("HashAggregate",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # quantile transform: one rank window per type — no joins
+    audit(
+        "quantile_transform",
+        _TEXT5WW["quantile_transform"],
+        expect=("windowspecdefinition(event_type",),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)

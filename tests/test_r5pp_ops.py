@@ -33,12 +33,17 @@ def test_gaps_oracle(spark, con):
 def test_gaps_python_replay(spark, con):
     from hand_index_spark.entry_queries_r5pp import _GAP_CELL, GEO5PP
 
+    def tdiv(a, b):
+        # Spark `div` and DuckDB `//` both truncate toward zero
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
     cells = set()
     for (d,) in con.sql(
         "SELECT doc_id FROM documents WHERE doc_id % 3 = 0"
     ).fetchall():
-        cy = (40000 + (d * 991) % 3000) // _GAP_CELL
-        cx = ((d * 1637) % 4000 - 2000) // _GAP_CELL
+        cy = tdiv(40000 + (d * 991) % 3000, _GAP_CELL)
+        cx = tdiv((d * 1637) % 4000 - 2000, _GAP_CELL)
         cells.add((cy, cx))
     dilated = {(cy + dy, cx + dx) for cy, cx in cells
                for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
