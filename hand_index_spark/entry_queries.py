@@ -1110,3 +1110,11 @@ from .entry_queries_r5ww import GEO5WW, ORACLES5WW, TEXT5WW  # noqa: E402
 GEO_QUERIES.update(GEO5WW)
 TEXTOPS.update(TEXT5WW)
 ORACLES.update(ORACLES5WW)
+
+
+# batch 5xx (round 5): route-corridor membership, new-vs-returning
+from .entry_queries_r5xx import GEO5XX, ORACLES5XX, TEXT5XX  # noqa: E402
+
+GEO_QUERIES.update(GEO5XX)
+TEXTOPS.update(TEXT5XX)
+ORACLES.update(ORACLES5XX)

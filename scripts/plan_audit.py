@@ -1925,6 +1925,30 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5xx import (
+        GEO5XX as _GEO5XX,
+        TEXT5XX as _TEXT5XX,
+    )
+
+    # corridor: bounded 23-segment explode per sampled point + one
+    # aggregate — no joins, division-free integer predicates
+    audit(
+        "corridor_membership",
+        _GEO5XX["corridor_membership"],
+        expect=("Generate", "HashAggregate"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # nvr: first-seen frame broadcast back + daily aggregate + the
+    # ~30-row cumulative window
+    audit(
+        "new_vs_returning",
+        _TEXT5XX["new_vs_returning"],
+        expect=("HashAggregate", "BroadcastHashJoin"),
+        forbid=("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
