@@ -1118,3 +1118,11 @@ from .entry_queries_r5xx import GEO5XX, ORACLES5XX, TEXT5XX  # noqa: E402
 GEO_QUERIES.update(GEO5XX)
 TEXTOPS.update(TEXT5XX)
 ORACLES.update(ORACLES5XX)
+
+
+# batch 5yy (round 5): OHLC candles with VWAP, top movers
+from .entry_queries_r5yy import GEO5YY, ORACLES5YY, TEXT5YY  # noqa: E402
+
+GEO_QUERIES.update(GEO5YY)
+TEXTOPS.update(TEXT5YY)
+ORACLES.update(ORACLES5YY)

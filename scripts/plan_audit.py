@@ -1949,6 +1949,27 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5yy import TEXT5YY as _TEXT5YY
+
+    # ohlc: ONE aggregate with min_by/max_by on the packed order key
+    # — no windows, no joins
+    audit(
+        "ohlc_candles",
+        _TEXT5YY["ohlc_candles"],
+        expect=("HashAggregate",),
+        forbid=("Join", "Window", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # movers: daily aggregate + lag + day-rank windows over the ~150
+    # daily rows
+    audit(
+        "top_movers",
+        _TEXT5YY["top_movers"],
+        expect=("HashAggregate", "windowspecdefinition(event_type"),
+        forbid=("Join", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
