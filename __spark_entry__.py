@@ -90,7 +90,13 @@ DRIVER_SAMPLE_ORDER = [
     # sample — same family, production smoothing; lm_score and langid
     # stay full-registry-verified; langid's slot goes to the round-5g
     # change-detection family)
-    "kneser_ney_score", "html_extract_text",
+    "kneser_ney_score",
+    # sequence-DP custom op (round-5x: DTW as a nested Catalyst fold,
+    # the brief's "operator Spark lacks" class — takes
+    # html_extract_text's slot; HTML extraction stays
+    # full-registry-verified and its byte-invariant twin
+    # text_invariant remains sampled above)
+    "dtw_distance",
     # change detection (round-5g: CUSUM as prefix-sum + running-min)
     "cusum_changepoints",
     # geodesic + segment-overlay spatial joins (round-5b/5c families;
