@@ -1126,3 +1126,12 @@ from .entry_queries_r5yy import GEO5YY, ORACLES5YY, TEXT5YY  # noqa: E402
 GEO_QUERIES.update(GEO5YY)
 TEXTOPS.update(TEXT5YY)
 ORACLES.update(ORACLES5YY)
+
+
+# batch 5zz (round 5, session closer): assignment-path parity,
+# method share
+from .entry_queries_r5zz import GEO5ZZ, ORACLES5ZZ, TEXT5ZZ  # noqa: E402
+
+GEO_QUERIES.update(GEO5ZZ)
+TEXTOPS.update(TEXT5ZZ)
+ORACLES.update(ORACLES5ZZ)

@@ -1970,6 +1970,24 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5zz import GEO5ZZ as _GEO5ZZ
+
+    # parity: both assignment plans + one url equi-join + method agg;
+    # the Arrow stage is the deliberate kernel path
+    audit(
+        "assign_path_parity",
+        _GEO5ZZ["assign_path_parity"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    )
+    # method share: flagship output + the 1-row total broadcast
+    audit(
+        "method_share",
+        _GEO5ZZ["method_share"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin"),
+        forbid=("SortMergeJoin", "CartesianProduct", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
