@@ -1135,3 +1135,11 @@ from .entry_queries_r5zz import GEO5ZZ, ORACLES5ZZ, TEXT5ZZ  # noqa: E402
 GEO_QUERIES.update(GEO5ZZ)
 TEXTOPS.update(TEXT5ZZ)
 ORACLES.update(ORACLES5ZZ)
+
+
+# batch 5aaa (round 5): Kaplan-Meier survival, RFM segmentation
+from .entry_queries_r5aaa import GEO5AAA, ORACLES5AAA, TEXT5AAA  # noqa: E402
+
+GEO_QUERIES.update(GEO5AAA)
+TEXTOPS.update(TEXT5AAA)
+ORACLES.update(ORACLES5AAA)

@@ -1988,6 +1988,28 @@ def main() -> None:
         forbid=("SortMergeJoin", "CartesianProduct", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5aaa import TEXT5AAA as _TEXT5AAA
+
+    # kaplan-meier: one user-keyed aggregate, the 1-row horizon
+    # broadcast back, then calendar-bounded window + one-group fold —
+    # no data-sized joins, no Python
+    audit(
+        "kaplan_meier",
+        _TEXT5AAA["kaplan_meier"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin"),
+        forbid=("SortMergeJoin", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+    # rfm: one custkey aggregate + 1-row horizon broadcast + the three
+    # customer-count ntile windows (small-dim path, like ntile_buckets)
+    audit(
+        "rfm_segments",
+        _TEXT5AAA["rfm_segments"],
+        expect=("HashAggregate", "BroadcastNestedLoopJoin", "Window"),
+        forbid=("SortMergeJoin", "CartesianProduct", "ArrowEvalPython",
+                "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
