@@ -1143,3 +1143,11 @@ from .entry_queries_r5aaa import GEO5AAA, ORACLES5AAA, TEXT5AAA  # noqa: E402
 GEO_QUERIES.update(GEO5AAA)
 TEXTOPS.update(TEXT5AAA)
 ORACLES.update(ORACLES5AAA)
+
+
+# batch 5bbb (round 5): item-item collaborative filtering, FIFO lots
+from .entry_queries_r5bbb import GEO5BBB, ORACLES5BBB, TEXT5BBB  # noqa: E402
+
+GEO_QUERIES.update(GEO5BBB)
+TEXTOPS.update(TEXT5BBB)
+ORACLES.update(ORACLES5BBB)

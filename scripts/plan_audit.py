@@ -2010,6 +2010,28 @@ def main() -> None:
                 "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5bbb import TEXT5BBB as _TEXT5BBB
+
+    # item_cf: one basket shuffle + HOF pair expansion (no corpus
+    # self-join), support joins on the parts dim, top-5 window —
+    # no Python, no cross join anywhere
+    audit(
+        "item_cf",
+        _TEXT5BBB["item_cf"],
+        expect=("HashAggregate", "Window"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # fifo: two window cumsums + an equi-join on partkey with range
+    # residuals — must never degrade to a cross product
+    audit(
+        "fifo_allocation",
+        _TEXT5BBB["fifo_allocation"],
+        expect=("Window",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
