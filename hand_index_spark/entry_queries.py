@@ -1151,3 +1151,11 @@ from .entry_queries_r5bbb import GEO5BBB, ORACLES5BBB, TEXT5BBB  # noqa: E402
 GEO_QUERIES.update(GEO5BBB)
 TEXTOPS.update(TEXT5BBB)
 ORACLES.update(ORACLES5BBB)
+
+
+# batch 5ccc (round 5): H3-style cover compaction, link prediction
+from .entry_queries_r5ccc import GEO5CCC, ORACLES5CCC, TEXT5CCC  # noqa: E402
+
+GEO_QUERIES.update(GEO5CCC)
+TEXTOPS.update(TEXT5CCC)
+ORACLES.update(ORACLES5CCC)

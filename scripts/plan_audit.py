@@ -2032,6 +2032,30 @@ def main() -> None:
                 "ArrowEvalPython", "BatchEvalPython"),
     )
 
+    from hand_index_spark.entry_queries_r5ccc import (
+        GEO5CCC as _GEO5CCC,
+        TEXT5CCC as _TEXT5CCC,
+    )
+
+    # cells_compact: one corpus distinct + 4 cover-sized window rounds,
+    # all Catalyst bit arithmetic — no joins, no Python
+    audit(
+        "cells_compact",
+        _GEO5CCC["cells_compact"],
+        expect=("HashAggregate", "Window"),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+    # link_predict: wedge equi-join on the center node + anti-join of
+    # existing edges — never a cross product, no Python
+    audit(
+        "link_predict",
+        _TEXT5CCC["link_predict"],
+        expect=("HashAggregate",),
+        forbid=("CartesianProduct", "BroadcastNestedLoopJoin",
+                "ArrowEvalPython", "BatchEvalPython"),
+    )
+
     # ROI query: the covering-cell predicate must reach the scan as a
     # PARTITION filter (the reference hive-partitioned by h3 but never
     # pruned — SURVEY §4.1; this engine's fix must be visible in the plan)
