@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship tile-assignment pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (234 queries as of round 5) and EVERY one carries a DuckDB
+SURVEY.md §2 (304 queries as of round 5) and EVERY one carries a DuckDB
 oracle — including the geo assignment (the tile grid is closed-form
 arithmetic, tables/tilegrid.py), the trig-bearing transforms (via
 discretization-safe comparisons), iterative graph clustering (via a
@@ -10,7 +10,7 @@ recursive-CTE closure), stateful streaming (via batch parity), the
 no-broadcast join paths, temporal joins, sketches, and the icelite
 maintenance surface. Registry batches: entry_queries.py,
 entry_queries_ext.py, entry_queries_r2.py, entry_queries_r4.py,
-entry_queries_r5.py, entry_queries_r5b.py through entry_queries_r5t.py;
+entry_queries_r5.py, entry_queries_r5b.py through entry_queries_r5zz.py;
 see COVERAGE.md for the operator -> query map.
 
 Session requirements: NONE. Every query runs green under a bare
