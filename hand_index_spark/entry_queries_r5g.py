@@ -207,9 +207,14 @@ def _q_cusum_changepoints(spark, sf_dir):
     s = pref.withColumn(
         "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
     )
+    # max_s as DOUBLE: the oracle's windowed sum(BIGINT) promotes to
+    # HUGEINT in DuckDB, which pandas/Arrow materializes as float64 —
+    # Spark's int64 was value-equal but hash-red on dtype
+    # (CORRECTNESS_r05 / VERDICT r5 item 1b). Values are cents-scale
+    # sums, far below 2^53, so the double is exact.
     return s.groupBy("user_id").agg(
         F.sum((F.col("s") > F.lit(_CUSUM_H)).cast("long")).alias("n_alerts"),
-        F.max("s").alias("max_s"),
+        F.max("s").cast("double").alias("max_s"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

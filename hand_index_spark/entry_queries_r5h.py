@@ -280,12 +280,23 @@ def _q_dsir_weights(spark, sf_dir):
             ).alias("logratio"),
         )
     )
+    # Signed-zero parity (VERDICT r5 item 1a): DuckDB's round() keeps
+    # the sign of a tiny negative mean (-0.0) while Spark's round()
+    # yields +0.0 — bitwise-different, value-equal, driver-hash-red.
+    # The oracle SQL is frozen, so replicate DuckDB on the Spark side:
+    # a mean that is negative before rounding and zero after it is
+    # emitted as -0.0.
+    mean = F.sum("logratio") / F.count(F.lit(1))
+    rounded = F.round(mean, 4)
+    avg_logweight = F.when(
+        (rounded == F.lit(0.0)) & (mean < F.lit(0.0)), F.lit(-0.0)
+    ).otherwise(rounded)
     return (
         toks.join(F.broadcast(probs), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("logratio") / F.count(F.lit(1)), 4).alias("avg_logweight"),
+            avg_logweight.alias("avg_logweight"),
         )
     )
 

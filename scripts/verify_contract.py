@@ -27,6 +27,25 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def _col_equal(got, want) -> bool:
+    """Driver-strict column comparison (VERDICT r5 item 2): dtypes must
+    match, float columns compare BITWISE (so +0.0 vs -0.0 and any dtype
+    drift from DuckDB HUGEINT promotion fail here before the driver sees
+    them), integers and objects compare exactly (NaN==NaN allowed)."""
+    import numpy as np
+    import pandas as pd
+
+    if got.dtype != want.dtype:
+        print(f"    dtype mismatch: spark {got.dtype} vs oracle {want.dtype}")
+        return False
+    g, w = got.values, want.values
+    if got.dtype.kind == "f":
+        iv = f"int{g.dtype.itemsize * 8}"
+        return bool((g.view(iv) == w.view(iv)).all())
+    eq = (g == w) | (pd.isna(g) & pd.isna(w))
+    return bool(np.asarray(eq).all())
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -84,13 +103,7 @@ def main() -> int:
             ok = (
                 got.shape == want.shape
                 and list(got.columns) == list(want.columns)
-                and all(
-                    (
-                        (got[c].values == want[c].values)
-                        | (pd.isna(got[c].values) & pd.isna(want[c].values))
-                    ).all()
-                    for c in got.columns
-                )
+                and all(_col_equal(got[c], want[c]) for c in got.columns)
             )
         except Exception as ex:
             ok = False
