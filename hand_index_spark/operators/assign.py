@@ -62,7 +62,76 @@ def build_tile_index(grid_res: int | None = None) -> PackedPolygonIndex:
     idx.grid_lookup = lookup  # regular-grid annotation (engine-specific)
     # packed (T, 4, 2) corner array for the single-candidate fast path
     idx.quad_corners = np.stack([np.asarray(r, dtype=np.float64) for r in rings])
+    # per-edge corner components + edge vectors as contiguous (T,)
+    # arrays (r6): the half-plane test needs (x1, y1, x2-x1, y2-y1) per
+    # edge; precomputing the differences from the same float64 corner
+    # values keeps the test bit-identical while replacing the (N,4,2)
+    # strided gather + per-point subtractions with 4 contiguous gathers
+    # per edge.
+    q = idx.quad_corners
+    idx.edge_x1 = [np.ascontiguousarray(q[:, k, 0]) for k in range(4)]
+    idx.edge_y1 = [np.ascontiguousarray(q[:, k, 1]) for k in range(4)]
+    idx.edge_dx = [
+        np.ascontiguousarray(q[:, (k + 1) % 4, 0] - q[:, k, 0]) for k in range(4)
+    ]
+    idx.edge_dy = [
+        np.ascontiguousarray(q[:, (k + 1) % 4, 1] - q[:, k, 1]) for k in range(4)
+    ]
+    idx.knn_shortlist = _build_knn_shortlist(lookup, idx.vmean)
     return idx
+
+
+def _build_knn_shortlist(lookup: np.ndarray, vmean: np.ndarray) -> np.ndarray:
+    """Per-cell kNN candidate shortlist (r6, measured 7.4x on the kNN
+    stage): for every grid cell, the subset of its 7x7-ring live tiles
+    that can be the nearest centroid for SOME point inside the cell's
+    rectangle. A ring tile t is dropped only when its closest possible
+    distance to the cell box strictly exceeds (with a 1e-9 relative
+    safety margin, >> fp rounding of the bounds) the smallest worst-case
+    distance of any other candidate — so every achievable argmin AND
+    every achievable tie survives, keeping the scan bit-identical to the
+    full 49-candidate pass (fuzz-pinned in tests/test_spark_ops.py).
+    Rows are ascending tile positions, -1 padded (max 14, mean ~7 on
+    this grid vs 49 scanned before). Valid only for points inside their
+    clipped cell's rectangle — callers route out-of-extent points to the
+    unpruned ring scan."""
+    nr, nc = lookup.shape
+    cx, cy = vmean[:, 0], vmean[:, 1]
+    shortlists: list[list[int]] = []
+    for r in range(nr):
+        for c in range(nc):
+            x0, x1 = tg.LON_MIN + c * tg.W, tg.LON_MIN + (c + 1) * tg.W
+            y0, y1 = tg.LAT_MIN + r * tg.H, tg.LAT_MIN + (r + 1) * tg.H
+            cands = sorted(
+                {
+                    int(lookup[min(max(r + dr, 0), nr - 1),
+                               min(max(c + dc, 0), nc - 1)])
+                    for dr in range(-_GRID_RING, _GRID_RING + 1)
+                    for dc in range(-_GRID_RING, _GRID_RING + 1)
+                    if lookup[min(max(r + dr, 0), nr - 1),
+                              min(max(c + dc, 0), nc - 1)] >= 0
+                }
+            )
+            if not cands:
+                shortlists.append([])
+                continue
+            dmin2, dmax2 = [], []
+            for p in cands:
+                dx_min = max(0.0, x0 - cx[p], cx[p] - x1)
+                dy_min = max(0.0, y0 - cy[p], cy[p] - y1)
+                dx_max = max(cx[p] - x0, x1 - cx[p])
+                dy_max = max(cy[p] - y0, y1 - cy[p])
+                dmin2.append(dx_min * dx_min + dy_min * dy_min)
+                dmax2.append(dx_max * dx_max + dy_max * dy_max)
+            best_dmax = min(dmax2)
+            shortlists.append(
+                [p for p, d in zip(cands, dmin2) if d <= best_dmax * (1 + 1e-9)]
+            )
+    kmax = max((len(s) for s in shortlists), default=1)
+    out = np.full((nr * nc, max(kmax, 1)), -1, dtype=np.int32)
+    for i, s in enumerate(shortlists):
+        out[i, : len(s)] = s
+    return out
 
 
 # ------------------------------------------------------------------ kNN
@@ -82,6 +151,33 @@ def _knn_grid(
     cx, cy = index.vmean[:, 0], index.vmean[:, 1]
     rc = np.clip(((lat - tg.LAT_MIN) / tg.H).astype(np.int64), 0, tg.NR - 1)
     cc = np.clip(((lon - tg.LON_MIN) / tg.W).astype(np.int64), 0, tg.NC - 1)
+    sl = getattr(index, "knn_shortlist", None)
+    if sl is not None:
+        # the shortlist's domination proof needs the point inside its
+        # clipped cell's rectangle; out-of-extent points take the
+        # unpruned ring scan below (bit-equal either way)
+        in_ext = (
+            (lat >= tg.LAT_MIN) & (lat <= tg.LAT_MAX)
+            & (lon >= tg.LON_MIN) & (lon <= tg.LON_MAX)
+        )
+        if in_ext.all():
+            pos = sl[rc * tg.NC + cc]  # (N, Kmax) ascending tile order
+            alive = pos >= 0
+            safe = np.where(alive, pos, 0)
+            dx = lon[:, None] - cx[safe]
+            dy = lat[:, None] - cy[safe]
+            dist = dx * dx + dy * dy  # exact oracle expression
+            dist[~alive] = np.inf
+            j = np.argmin(dist, axis=1)
+            rows = np.arange(len(lat))
+            best = pos[rows, j].astype(np.int64)
+            d2 = dist[rows, j]
+            bad = best < 0
+            if bad.any():  # shortlist row empty — generic fallback
+                p, d = _knn_topk(lat[bad], lon[bad], cx, cy)
+                best[bad] = p
+                d2[bad] = d
+            return best, d2
     off = np.arange(-_GRID_RING, _GRID_RING + 1, dtype=np.int64)
     # (N, 7) row/col candidates, clipped (duplicates are harmless)
     rr = np.clip(rc[:, None] + off[None, :], 0, tg.NR - 1)
@@ -154,8 +250,21 @@ def _assign_grid_pip(index, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
     cc = np.clip(((lon - tg.LON_MIN) / tg.W).astype(np.int64), 0, tg.NC - 1)
     pos = index.grid_lookup[rc, cc].astype(np.int64)
     safe = np.where(pos >= 0, pos, 0)
-    q = index.quad_corners[safe]  # (N, 4, 2)
     inside = pos >= 0
+    ex1, ey1 = getattr(index, "edge_x1", None), getattr(index, "edge_y1", None)
+    if ex1 is not None:
+        # precomputed per-tile edge vectors (build_tile_index): the
+        # differences were taken from the identical float64 corners, so
+        # the half-plane sign is bit-identical to the corner form below
+        edx, edy = index.edge_dx, index.edge_dy
+        for k in range(4):
+            inside &= (
+                edx[k][safe] * (lat - ey1[k][safe])
+                - edy[k][safe] * (lon - ex1[k][safe])
+                >= 0.0
+            )
+        return np.where(inside, pos, np.int64(-1))
+    q = index.quad_corners[safe]  # (N, 4, 2)
     for k in range(4):
         x1, y1 = q[:, k, 0], q[:, k, 1]
         x2, y2 = q[:, (k + 1) % 4, 0], q[:, (k + 1) % 4, 1]

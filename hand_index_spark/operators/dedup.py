@@ -404,7 +404,18 @@ def jaccard_refine(
     # the remaining lever at 100 TB is pair count (cap/bands), not
     # per-pair expression cost.
     sets = sets.withColumn("nw", F.size("ws"))
-    inter = F.size(F.array_intersect("wa", "wb"))
+    # Intersect-once barrier (r6, measured 2.77 -> 2.20 s at 4.59M
+    # candidate pairs): without it Catalyst substitutes ni's definition
+    # into the pushed-down threshold filter, which lands in the join
+    # condition where array_intersect(wa, wb) is evaluated TWICE per
+    # candidate (numerator + denominator, no subexpression elimination
+    # in join-condition codegen). rand(42)*0.0 is identically +0.0 (ni
+    # and every output bit-unchanged, exceptAll-verified) but marks the
+    # column non-deterministic, so the filter stays a scalar test above
+    # ONE projection that computes the intersection exactly once.
+    inter = F.size(F.array_intersect("wa", "wb")) + (
+        F.rand(42) * F.lit(0.0)
+    ).cast("int")
     j = (
         pairs.join(
             sets.select(
@@ -456,6 +467,12 @@ def containment_refine(
             F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("ws")
         )
     sets = sets.withColumn("nw", F.size("ws").cast("long"))
+    # same intersect-once barrier as jaccard_refine: keep the pushed
+    # threshold filter from re-evaluating array_intersect inside the
+    # join condition (rand(42)*0.0 == +0.0 always; bit-identical).
+    ni = F.size(F.array_intersect("wa", "wb")) + (
+        F.rand(42) * F.lit(0.0)
+    ).cast("int")
     j = (
         pairs.join(
             sets.select(
@@ -471,11 +488,11 @@ def containment_refine(
             ),
             "id_b",
         )
+        .withColumn("ni", ni)
         .withColumn(
             "containment",
             F.round(
-                F.size(F.array_intersect("wa", "wb")).cast("double")
-                / F.least("na", "nb").cast("double"),
+                F.col("ni").cast("double") / F.least("na", "nb").cast("double"),
                 6,
             ),
         )
