@@ -53,6 +53,51 @@ def test_assign_batch_bitwise_vs_unpruned():
     assert np.array_equal(df.view(np.int64), dr.view(np.int64))  # bitwise
 
 
+def test_box_clip_area2_bitwise_vs_fold(spark_session=None):
+    """The closed-form rectangle clip must equal the Sutherland-Hodgman
+    fold bit-for-bit in the fold's exactness regime (integer coords and
+    bounds) — the clip_to_tiles dispatch relies on this."""
+    from pyspark.sql import functions as F
+
+    from hand_index_spark.operators.clip import (
+        box_clip_area2,
+        clip_to_box,
+        ring_area2,
+    )
+    from hand_index_spark.session import get_spark
+
+    spark = get_spark("test_box_clip", master="local[4]", shuffle_partitions=4)
+    d = spark.range(5000).select(
+        "id",
+        ((F.col("id") * 73) % 1000).cast("double").alias("x1"),
+        ((F.col("id") * 131) % 1000).cast("double").alias("y1"),
+        ((F.col("id") * 73) % 1000 + 8 + (F.col("id") % 5) * 23)
+        .cast("double").alias("x2"),
+        ((F.col("id") * 131) % 1000 + 8 + ((F.col("id") * 7) % 5) * 23)
+        .cast("double").alias("y2"),
+        ((F.col("id") * 37) % 16 * 64).cast("double").alias("bx"),
+        ((F.col("id") * 53) % 16 * 64).cast("double").alias("by"),
+    )
+    ring = F.array(
+        F.struct(F.col("x1").alias("x"), F.col("y1").alias("y")),
+        F.struct(F.col("x2").alias("x"), F.col("y1").alias("y")),
+        F.struct(F.col("x2").alias("x"), F.col("y2").alias("y")),
+        F.struct(F.col("x1").alias("x"), F.col("y2").alias("y")),
+    )
+    bx, by = F.col("bx"), F.col("by")
+    out = d.select(
+        ring_area2(clip_to_box(ring, bx, bx + 64.0, by, by + 64.0)).alias("fold"),
+        box_clip_area2(
+            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+            bx, bx + 64.0, by, by + 64.0,
+        ).alias("closed"),
+    ).toPandas()
+    assert (
+        out["fold"].values.view("int64") == out["closed"].values.view("int64")
+    ).all()
+    assert (out["closed"] > 0).any() and (out["closed"] == 0).any()
+
+
 def test_s2_chunked_fold_bitwise():
     rng = np.random.RandomState(99)
     lat = rng.uniform(-89.99, 89.99, 100_000)
