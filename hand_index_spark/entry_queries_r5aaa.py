@@ -142,7 +142,10 @@ def _q_kaplan_meier(spark, sf_dir):
     out = folded.select(F.explode(F.col("st.rows")).alias("r"))
     return out.select(
         F.col("r.lifetime").alias("lifetime_days"),
-        F.col("r.n_risk").alias("n_risk"),
+        # double cast: the oracle's recursive-CTE n_risk arithmetic is
+        # HUGEINT-promoted -> float64 in pandas (VERDICT r5 item 1b bug
+        # class); counts are small, exact in a double
+        F.col("r.n_risk").cast("double").alias("n_risk"),
         F.col("r.n_deaths").alias("n_deaths"),
         F.expr("CAST(floor(1000000.0 * r.surv) AS BIGINT)").alias(
             "surv_micro"

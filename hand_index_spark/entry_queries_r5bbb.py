@@ -202,11 +202,14 @@ def _q_fifo_allocation(spark, sf_dir):
         F.col("pk").alias("partkey"),
         "lot_seq",
         "sale_seq",
+        # double casts: the oracle's cumulative windowed sum(BIGINT) is
+        # HUGEINT -> float64 in pandas (VERDICT r5 item 1b bug class);
+        # quantities are small, exact in a double
         (
             F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")
-        ).alias("alloc_qty"),
-        F.col("s_lo").alias("lot_cum_start"),
-        F.col("d_lo").alias("sale_cum_start"),
+        ).cast("double").alias("alloc_qty"),
+        F.col("s_lo").cast("double").alias("lot_cum_start"),
+        F.col("d_lo").cast("double").alias("sale_cum_start"),
     )
 
 

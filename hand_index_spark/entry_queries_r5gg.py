@@ -169,7 +169,9 @@ def _q_markov_transitions(spark, sf_dir):
         "event_type",
         "n",
         "row_total",
-        F.expr("(1000000 * n) div row_total").alias("p_ppm"),
+        # double cast: oracle's windowed sum(BIGINT) is HUGEINT ->
+        # float64 in pandas (VERDICT r5 item 1b bug class); exact ppm
+        F.expr("(1000000 * n) div row_total").cast("double").alias("p_ppm"),
     )
 
 

@@ -180,7 +180,9 @@ def _q_modularity_score(spark, sf_dir):
         "n_communities",
         "sum_deg2",
         (F.lit(within) * F.lit(two_m) - F.col("sum_deg2")).alias("q_num"),
-        (F.lit(two_m) * F.lit(two_m)).alias("q_den"),
+        # long cast: python int literals infer int32 while the oracle
+        # emits CAST(... AS BIGINT) — dtype-strict hash parity
+        (F.lit(two_m) * F.lit(two_m)).cast("long").alias("q_den"),
         F.floor(
             F.lit(1000000.0)
             * (F.lit(within) * F.lit(two_m) - F.col("sum_deg2")).cast("double")

@@ -111,7 +111,10 @@ def _q_lttb_downsample(spark, sf_dir):
         )
         .select(
             "user_id", "bucket",
-            F.col("m.x").alias("sel_x"), F.col("m.y").alias("sel_y"),
+            # long cast: the oracle emits CAST(x AS BIGINT) while the
+            # struct field is int32 — dtype-strict hash parity
+            F.col("m.x").cast("long").alias("sel_x"),
+            F.col("m.y").alias("sel_y"),
         )
     )
     return sel
@@ -218,7 +221,10 @@ def _q_encoding_advisor(spark, sf_dir):
         )
         .select(
             "col_name", "n_values", "runs", "max_delta",
-            F.expr(f"(1000000 * n_values) div runs").alias("avg_run_micro"),
+            # double cast: oracle's HUGEINT-promoted // -> float64 in
+            # pandas (VERDICT r5 item 1b bug class); exact micro value
+            F.expr(f"(1000000 * n_values) div runs").cast("double")
+            .alias("avg_run_micro"),
             F.when(F.col("runs") * 10 <= F.col("n_values"), F.lit("RLE"))
             .when(F.col("max_delta") <= 8, F.lit("DELTA"))
             .otherwise(F.lit("PLAIN"))

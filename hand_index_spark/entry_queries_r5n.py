@@ -63,7 +63,11 @@ def _q_k_anonymity_audit(spark, sf_dir):
     )
     ks = classes.crossJoin(F.broadcast(tot)).select(
         "c", "n_rows", "n_classes",
-        F.explode(F.array(*[F.lit(k) for k in _KS])).alias("k"),
+        # long cast: python int literals infer int32 while the oracle's
+        # k column is BIGINT — dtype-strict hash parity
+        F.explode(
+            F.array(*[F.lit(k) for k in _KS]).cast("array<bigint>")
+        ).alias("k"),
     )
     return ks.groupBy("k").agg(
         F.max("n_classes").alias("n_classes"),

@@ -179,10 +179,14 @@ def _q_column_entropy(spark, sf_dir):
                 # column's numerator a hair negative) and use integer
                 # division — float-division casts round differently
                 # across engines
+                # cast to double: the oracle's BIGINT // over a
+                # HUGEINT-promoted operand materializes as float64 in
+                # pandas (same bug class as VERDICT r5 item 1b); the
+                # quotient is ppm-scale, exact in a double
                 F.expr(
                     "greatest(CAST(floor(1000000.0 * log2(n)) AS BIGINT)"
                     " * n - s_micro, CAST(0 AS BIGINT)) div n"
-                ).alias("h_micro"),
+                ).cast("double").alias("h_micro"),
             )
         )
     out = frames[0]

@@ -126,8 +126,10 @@ def _q_tokenizer_fertility(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("words").alias("total_words"),
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        # double cast: oracle's sum(BIGINT) is HUGEINT -> float64 in
+        # pandas (VERDICT r5 item 1b bug class); exact ppm value
         F.expr("(1000000 * sum(bpe_tokens)) div sum(words)")
-        .alias("fertility_ppm"),
+        .cast("double").alias("fertility_ppm"),
     )
 
 

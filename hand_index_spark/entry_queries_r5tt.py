@@ -141,7 +141,10 @@ def _q_dow_hour_heatmap(spark, sf_dir):
         "dow",
         "hour",
         "n",
-        F.expr("(1000000 * n) div sum(n) over ()").alias("share_ppm"),
+        # double cast: oracle's windowed sum(BIGINT) is HUGEINT ->
+        # float64 in pandas (VERDICT r5 item 1b bug class); exact ppm
+        F.expr("(1000000 * n) div sum(n) over ()").cast("double")
+        .alias("share_ppm"),
     ).withColumn("_tot", F.sum("n").over(wt)).drop("_tot")
 
 

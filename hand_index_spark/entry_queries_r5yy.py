@@ -69,8 +69,10 @@ def _q_ohlc_candles(spark, sf_dir):
         F.max("vc").alias("high_c"),
         F.min("vc").alias("low_c"),
         F.expr("max_by(vc, ord)").alias("close_c"),
+        # double cast: oracle's sum(BIGINT) is HUGEINT -> float64 in
+        # pandas (VERDICT r5 item 1b bug class); exact milli value
         F.expr("(1000 * sum(vc * size)) div sum(size)")
-        .alias("vwap_milli"),
+        .cast("double").alias("vwap_milli"),
     )
 
 
