@@ -14,11 +14,18 @@ BENCH/BASELINE.md.
 
 Host-weather note: the suite must not run anything concurrently with
 this test (a contended pair measured 0.787 in round 2). Row count is
-chosen to amortize fixed job overhead: 8 M rows measured 0.55 best-pair
+chosen to amortize fixed job overhead — the regime rule is t(8) well
+clear of the ~2 s startup-bound zone: 8 M rows measured 0.55 best-pair
 (t(8) ~ 2 s is startup-bound); 16 M proved threshold-flaky across
 2026-08-17 windows (0.57-0.99, median ~0.78 — t(8) ~ 2.5 s still
-carries too much fixed cost); 32 M measured 0.94-0.99 in r4 and is the
-default here, with up to 4 matched-pair rounds (early exit on pass).
+carries too much fixed cost); 32 M measured 0.94-0.99 in r4 at the
+r4/r5 kernel speed (t(8) ~ 8-10 s). Round 6 made the assignment kernel
+~4x faster (assign.py shortlist kNN + edge vectors, s2 chunked fold),
+which pushed 32 M back into the startup-bound zone (t(8) ~ 2.3 s,
+best-pair 0.726 — same regime violation the 8 M row documents), so the
+default is now 192 M: t(8) ~ 12.6 s, measured best-pair 0.941 (rounds
+0.74-0.94, cpu probes 22-26 Mops, outputs identical; 128 M measured
+0.820/0.823 in two windows — passing but threshold-tight).
 
 In-suite placement: the file is named test_zz_* so it collects LAST,
 and the test STOPS the suite's shared Spark session before measuring —
@@ -36,7 +43,7 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 32_000_000))
+ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 192_000_000))
 
 
 def test_scaling_efficiency_gate():
