@@ -67,9 +67,15 @@ def with_cells(
 
 @pandas_udf(LongType())
 def s2_cell_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
-    out = s2lite.encode(
-        lat.to_numpy(dtype=np.float64), lon.to_numpy(dtype=np.float64), S2_LEVEL
-    )
+    la = lat.to_numpy(dtype=np.float64)
+    lo = lon.to_numpy(dtype=np.float64)
+    out = np.empty(len(la), np.int64)
+    # cache blocking (operators/assign._BATCH_CHUNK rationale): keep
+    # the fold's temporaries L2-resident instead of streaming the whole
+    # Arrow batch through every vector pass; bit-identical per row
+    for a in range(0, len(la), 32768):
+        b = min(a + 32768, len(la))
+        out[a:b] = s2lite.encode(la[a:b], lo[a:b], S2_LEVEL)
     return pd.Series(out)
 
 
